@@ -1,0 +1,465 @@
+"""MLS-MPM substep and control step, TPU-first.
+
+Functional re-design of the reference MPM pipeline (reference
+fluidlab/fluidengine/simulators/mpm_simulator.py:515-533):
+
+    advect_used -> process_unused -> agent_act -> compute_F_tmp -> svd ->
+    p2g -> agent_move -> grid_op -> g2p -> advect(+rigid shape matching)
+
+as one pure function ``substep(state, params) -> state``:
+
+- the activation mask and "process unused" carries become ``where``
+  lattices over the dense particle arrays (the mask never changes shape —
+  required under jit);
+- Taichi's atomic P2G scatter becomes a single batched XLA scatter-add of
+  the 27-point stencil (deterministic reduction — no atomics, no races);
+- grid_op is a dense masked update over grid nodes with *precomputed*
+  static-collider SDF/normal grids;
+- rigid shape matching (reference :449-505) becomes segment_sum + batched
+  3x3 SVD over bodies;
+- the whole substep is differentiable end-to-end through ``jax.grad``;
+  time integration memory is managed by ``lax.scan`` + ``jax.checkpoint``
+  in ``rollout.py`` (replacing the reference's frame-window tape).
+
+Every kernel keeps static shapes and branch-free inner math; agent/scene
+structure is baked in at trace time from the static ``SimCfg``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fluidlab_tpu.config import materials as M
+from fluidlab_tpu.core import quat as quat_ops
+from fluidlab_tpu.core.bspline import STENCIL, base_and_fx, quadratic_weights
+from fluidlab_tpu.core.svd3 import svd3
+from fluidlab_tpu.engine import sdf as sdf_ops
+from fluidlab_tpu.engine.config import AgentCfg, SimCfg
+from fluidlab_tpu.engine.scene import SceneParams
+from fluidlab_tpu.engine.types import EffectorState, ParticleState, SimState
+
+EPS = M.EPS  # 1e-12 (reference macros.py:213)
+_EYE3 = jnp.eye(3, dtype=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# agent sub-behaviors (static structure from AgentCfg)
+# --------------------------------------------------------------------------
+
+def _agent_collide(
+    cfg: SimCfg,
+    params: SceneParams,
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    effs: Tuple[EffectorState, ...],
+    effs_next: Tuple[EffectorState, ...],
+):
+    """Collide query points against all dynamic effector meshes
+    (reference agents' ``collide`` dispatch, e.g. agent_rigid.py:21-23,
+    agent_icecreamdynamic.py:38-43)."""
+    agent = cfg.agent
+    for i, ecfg in enumerate(agent.effectors):
+        if ecfg.collider is None or not ecfg.collider.has_dynamics:
+            continue
+        v_new = sdf_ops.dynamic_collide(
+            params.colliders[i],
+            ecfg.collider.friction,
+            ecfg.collider.softness,
+            pos,
+            vel,
+            effs[i].pos,
+            effs[i].quat,
+            effs_next[i].pos,
+            effs_next[i].quat,
+            cfg.dt,
+        )
+        if agent.collide_y_gate is not None:
+            vel = jnp.where(
+                (pos[..., 1] > agent.collide_y_gate)[..., None], v_new, vel
+            )
+        else:
+            vel = v_new
+    return vel
+
+
+def _move_effectors(cfg: SimCfg, effs: Tuple[EffectorState, ...]):
+    """Integrate effector poses one substep (reference effector.py:157-161:
+    pos[f+1] = boundary.impose_x(pos[f] + v[f]); quat[f+1] = qmul(w2quat(w),
+    quat[f]))."""
+    out = []
+    for i, ecfg in enumerate(cfg.agent.effectors):
+        e = effs[i]
+        pos1 = ecfg.boundary.impose_x(e.pos + e.v)
+        quat1 = quat_ops.qmul(quat_ops.w2quat(e.w), e.quat)
+        out.append(e.replace(pos=pos1, quat=quat1))
+    return tuple(out)
+
+
+def _inject(
+    cfg: SimCfg,
+    params: SceneParams,
+    i: int,
+    eff: EffectorState,
+    f_global: jnp.ndarray,
+    x_next: jnp.ndarray,
+    v_next: jnp.ndarray,
+    used_next: jnp.ndarray,
+    gate: jnp.ndarray,
+):
+    """Spawn ``flux`` particles from the pre-generated offset table
+    (reference injector.py:80-105, 240-256).  ``gate`` is a traced bool:
+    when False the state is returned unchanged (both branches have
+    identical structure, so this is a cheap ``lax.cond``)."""
+    ecfg = cfg.agent.effectors[i]
+    flux = ecfg.flux
+    act_range = params.inj_act_range[i]
+    rand = params.inj_rand[i]  # (L, flux, 3)
+    L = rand.shape[0]
+
+    def do_inject(ops):
+        x_n, v_n, used_n, act_id = ops
+        idx = jax.lax.dynamic_slice(act_range, (act_id,), (flux,))
+        rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
+        inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
+        if ecfg.kind == "ball_injector":
+            # offsets pre-scaled to the ball at table build time
+            xi = rv + eff.pos
+            vi = jnp.broadcast_to(inject_v, (flux, 3))
+        else:
+            offset = (rv * 2.0 - 1.0) * ecfg.radius
+            inject_p = quat_ops.transform_by_quat(
+                jnp.asarray(ecfg.inject_p, dtype=x_n.dtype), eff.quat
+            )
+            xi = offset + eff.pos + inject_p
+            vdir = quat_ops.transform_by_quat(inject_v, eff.quat)
+            if ecfg.randomize_inject_v:
+                vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
+            else:
+                vi = jnp.broadcast_to(vdir, (flux, 3))
+        x_n = x_n.at[idx].set(xi)
+        v_n = v_n.at[idx].set(vi)
+        used_n = used_n.at[idx].set(True)
+        return x_n, v_n, used_n, act_id + flux
+
+    return jax.lax.cond(
+        gate, do_inject, lambda ops: ops, (x_next, v_next, used_next, eff.act_id)
+    )
+
+
+# --------------------------------------------------------------------------
+# the substep
+# --------------------------------------------------------------------------
+
+def make_substep(cfg: SimCfg):
+    """Build the jittable ``substep(state, params, has_action) -> state``."""
+    G = cfg.n_grid
+    G3 = G * G * G
+    dt = cfg.dt
+    dx = cfg.dx
+    inv_dx = cfg.inv_dx
+    p_vol = cfg.p_vol
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    agent = cfg.agent
+    stencil = [tuple(int(v) for v in o) for o in STENCIL]
+
+    # grid node world positions, as a compile-time constant expression
+    def _cell_pos():
+        ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
+        return (
+            jnp.stack([ii, jj, kk], axis=-1).reshape(G3, 3).astype(jnp.float32)
+            * dx
+        )
+
+    def substep(state: SimState, params: SceneParams, has_action) -> SimState:
+        ps = state.particles
+        effs = state.effectors
+        x, v, C, F, used = ps.x, ps.v, ps.C, ps.F, ps.used
+        N = x.shape[0]
+
+        # ---- collector: deactivate out-of-boundary particles in the
+        # *current* frame too, so they skip this whole substep (reference
+        # agent_pouring.py:30-42 — the f-mutation is load-bearing)
+        collect = None
+        if agent is not None and agent.collector is not None:
+            out = agent.collector.boundary.is_out(x)
+            if agent.collector.mat_filter is not None:
+                out = out & (params.p_mat == agent.collector.mat_filter)
+            collect = used & out
+            used = used & ~out
+
+        usedf = used.astype(x.dtype)
+
+        # ---- F_tmp = (I + dt C) F and its SVD (reference :254-264)
+        F_tmp = jnp.einsum("pij,pjk->pik", _EYE3 + dt * C, F)
+        F_tmp = jnp.where(used[:, None, None], F_tmp, _EYE3)
+        U, sig, V = svd3(F_tmp)
+
+        # ---- stress (corotated + volumetric, reference p2g :339-344)
+        J = sig[:, 0] * sig[:, 1] * sig[:, 2]
+        R = jnp.einsum("pij,pkj->pik", U, V)  # U V^T
+        Ft_T = jnp.swapaxes(F_tmp, -1, -2)
+        stress = 2.0 * params.p_mu[:, None, None] * jnp.einsum(
+            "pij,pjk->pik", F_tmp - R, Ft_T
+        ) + _EYE3 * (params.p_lam * J * (J - 1.0))[:, None, None]
+        stress = (-dt * p_vol * 4.0 * inv_dx * inv_dx) * stress
+        affine = stress + params.p_mass[:, None, None] * C
+
+        # ---- deformation-gradient update by material class (:355-378)
+        F_liquid = _EYE3 * jnp.cbrt(J)[:, None, None]
+        sig_clamped = jnp.clip(sig, 1.0 - 2e-3, 1.0 + 3e-3)
+        F_plastic = jnp.einsum(
+            "pij,pj,pkj->pik", U, sig_clamped, V
+        )
+        cls = params.p_mat_cls
+        is_liquid = (cls == M.MAT_LIQUID)[:, None, None]
+        is_plastic = (
+            (cls == M.MAT_PLASTO_ELASTIC) | (cls == M.MAT_PLASTO_ELASTIC_DEMO)
+        )[:, None, None]
+        F_new = jnp.where(is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp))
+        F_next = jnp.where(used[:, None, None], F_new, F)
+
+        # ---- P2G: one batched scatter-add of the 27-point stencil (:331-353)
+        base, fx = base_and_fx(x, inv_dx)
+        base = jnp.clip(base, 0, G - 3)
+        w = quadratic_weights(fx)  # (N, 3, 3)
+        mom = params.p_mass[:, None] * v
+        idx_parts = []
+        val_parts = []
+        for (oi, oj, ok) in stencil:
+            wi = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2] * usedf
+            off = jnp.asarray([oi, oj, ok], dtype=x.dtype)
+            dpos = (off - fx) * dx
+            val3 = wi[:, None] * (mom + jnp.einsum("pij,pj->pi", affine, dpos))
+            valm = wi * params.p_mass
+            idx = (base[:, 0] + oi) * (G * G) + (base[:, 1] + oj) * G + (base[:, 2] + ok)
+            idx_parts.append(idx)
+            val_parts.append(jnp.concatenate([val3, valm[:, None]], axis=-1))
+        idxs = jnp.concatenate(idx_parts)
+        vals = jnp.concatenate(val_parts)
+        grid = jnp.zeros((G3, 4), dtype=x.dtype).at[idxs].add(vals)
+
+        # ---- effector pose integration (before grid_op: collider velocity
+        # needs pos[f] and pos[f+1]; reference substep stage order :515-533)
+        if agent is not None:
+            effs_next = jax.lax.cond(
+                has_action,
+                lambda es: _move_effectors(cfg, es),
+                lambda es: es,
+                effs,
+            ) if _any_action_effector(agent) else effs
+        else:
+            effs_next = effs
+
+        # ---- grid_op: momentum -> velocity, gravity, collisions, boundary
+        # (reference :380-398)
+        mass_g = grid[:, 3]
+        active = mass_g > EPS
+        v_out = grid[:, :3] / jnp.maximum(mass_g, EPS)[:, None] + dt * gravity
+        cell_pos = _cell_pos()
+        if cfg.n_statics > 0:
+            for si in range(cfg.n_statics):
+                v_out = sdf_ops.static_collide(
+                    v_out,
+                    params.statics_sdf[si],
+                    params.statics_normal[si],
+                    params.statics_friction[si],
+                )
+        if agent is not None and agent.collide_type in ("grid", "both"):
+            v_out = _agent_collide(cfg, params, cell_pos, v_out, effs, effs_next)
+        _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
+        v_out = jnp.where(active[:, None], v_out, 0.0)
+
+        # ---- G2P gather (:400-426)
+        new_v = jnp.zeros_like(v)
+        new_C = jnp.zeros_like(C)
+        for (oi, oj, ok) in stencil:
+            wi = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2]
+            idx = (base[:, 0] + oi) * (G * G) + (base[:, 1] + oj) * G + (base[:, 2] + ok)
+            g_v = v_out[idx]
+            off = jnp.asarray([oi, oj, ok], dtype=x.dtype)
+            dpos = off - fx  # unitless (reference :410)
+            new_v = new_v + wi[:, None] * g_v
+            new_C = new_C + (4.0 * inv_dx) * wi[:, None, None] * (
+                g_v[:, :, None] * dpos[:, None, :]
+            )
+        if agent is not None and agent.collide_type in ("particle", "both"):
+            x_tmp = x + dt * new_v
+            new_v = _agent_collide(cfg, params, x_tmp, new_v, effs, effs_next)
+        v_next = jnp.where(used[:, None], new_v, v)
+        C_next = jnp.where(used[:, None, None], new_C, C)
+
+        # ---- advect + rigid-body shape matching (:428-505)
+        x_adv = x + dt * v_next
+        if cfg.has_rigid_bodies:
+            B = cfg.n_bodies
+            rigid = ((params.p_mat_cls == M.MAT_RIGID) & used).astype(x.dtype)
+            wp = rigid[:, None]
+            x1 = x + dt * v_next
+            inv_n = 1.0 / jnp.maximum(params.body_n, 1.0)
+            com0 = (
+                jax.ops.segment_sum(x * wp, params.p_body, num_segments=B)
+                * inv_n[:, None]
+            )
+            com1 = (
+                jax.ops.segment_sum(x1 * wp, params.p_body, num_segments=B)
+                * inv_n[:, None]
+            )
+            d0 = x - com0[params.p_body]
+            d1 = x1 - com1[params.p_body]
+            H = jax.ops.segment_sum(
+                wp[:, :, None] * (d0[:, :, None] * d1[:, None, :]),
+                params.p_body,
+                num_segments=B,
+            )
+            Ub, sb, Vb = svd3(H)
+            Rb = jnp.einsum("bij,bkj->bik", Vb, Ub)  # V U^T (reference :495)
+            x_rigid = (
+                jnp.einsum("pij,pj->pi", Rb[params.p_body], d0)
+                + com1[params.p_body]
+            )
+            x_adv = jnp.where((rigid > 0)[:, None], x_rigid, x_adv)
+        x_next = jnp.where(used[:, None], x_adv, x)
+
+        used_next = used
+
+        # ---- injection (reference agent_injector.py:31-35; the injected
+        # particle first moves at substep f+1)
+        if agent is not None:
+            effs_out = list(effs_next)
+            for i, ecfg in enumerate(agent.effectors):
+                if ecfg.kind not in ("injector", "ball_injector") or ecfg.flux == 0:
+                    continue
+                gate = has_action
+                if agent.inject_till is not None:
+                    gate = gate & (state.f_global < agent.inject_till)
+                x_next, v_next, used_next, new_act_id = _inject(
+                    cfg, params, i, effs[i], state.f_global,
+                    x_next, v_next, used_next, gate,
+                )
+                effs_out[i] = effs_out[i].replace(act_id=new_act_id)
+            effs_next = tuple(effs_out)
+
+        # ---- collector finalize: park collected particles at NOWHERE
+        if collect is not None:
+            x_next = jnp.where(
+                collect[:, None], jnp.asarray(M.NOWHERE, dtype=x.dtype), x_next
+            )
+            used_next = used_next & ~collect
+
+        return state.replace(
+            particles=ParticleState(
+                x=x_next, v=v_next, C=C_next, F=F_next, used=used_next
+            ),
+            effectors=effs_next,
+            f_global=state.f_global + 1,
+        )
+
+    return substep
+
+
+def _any_action_effector(agent: AgentCfg) -> bool:
+    return len(agent.effectors) > 0
+
+
+# --------------------------------------------------------------------------
+# the control step: action routing + smoke + n_substeps
+# --------------------------------------------------------------------------
+
+def set_action(cfg: SimCfg, effs: Tuple[EffectorState, ...], action: jnp.ndarray):
+    """Route an action vector to effector per-substep velocities
+    (reference effector.py:252-268, aircon.py:202-215, agent.py:71-81).
+
+    A step action is a *displacement over the control step*, spread across
+    the substeps (divide by n_substeps); AirCon strength/radius are held,
+    not divided."""
+    agent = cfg.agent
+    n_sub = float(cfg.n_substeps)
+    dims = agent.action_dims
+    out = []
+    for i, ecfg in enumerate(agent.effectors):
+        e = effs[i]
+        if agent.action_effector is not None and i != agent.action_effector:
+            out.append(e)
+            continue
+        if agent.action_effector is not None:
+            a = action
+        else:
+            a = action[dims[i]: dims[i + 1]]
+        if ecfg.action_dim == 0:
+            out.append(e)
+            continue
+        if agent.clip_action is not None:
+            a = jnp.clip(a, *agent.clip_action)
+        scale = jnp.asarray(ecfg.action_scale_v, dtype=a.dtype)
+        a_s = a * scale
+        v = a_s[:3] / n_sub
+        w = e.w
+        s, r = e.s, e.r
+        if ecfg.action_dim > 3:
+            w = a_s[3:6] / n_sub
+        if ecfg.action_dim > 6:
+            s = a_s[6]
+            r = a_s[7]
+        out.append(e.replace(v=v, w=w, s=s, r=r))
+    return tuple(out)
+
+
+def apply_action_p(cfg: SimCfg, effs: Tuple[EffectorState, ...], action_p):
+    """Set initial effector positions from the position action (reference
+    effector.py:223-231: pos[0] = boundary.impose_x(action_p * scale_p))."""
+    agent = cfg.agent
+    dims = agent.action_dims
+    out = []
+    for i, ecfg in enumerate(agent.effectors):
+        e = effs[i]
+        if agent.action_effector is not None and i != agent.action_effector:
+            out.append(e)
+            continue
+        a = action_p if agent.action_effector is not None else action_p[
+            dims[i]: dims[i + 1]
+        ]
+        if ecfg.action_dim == 0:
+            out.append(e)
+            continue
+        if agent.clip_action_p is not None:
+            a = jnp.clip(a, *agent.clip_action_p)
+        scale = jnp.asarray(ecfg.action_scale_p, dtype=a.dtype)
+        pos0 = ecfg.boundary.impose_x(a[:3] * scale[:3])
+        out.append(e.replace(pos=pos0))
+    return tuple(out)
+
+
+def make_step(cfg: SimCfg, smoke_step_fn=None):
+    """Build ``step(state, params, action, has_action) -> state``: one
+    control step = action routing + optional smoke step + n_substeps
+    (reference mpm_simulator.py:735-753)."""
+    substep = make_substep(cfg)
+
+    def step(state: SimState, params: SceneParams, action, has_action):
+        if cfg.agent is not None and cfg.agent.action_dim > 0:
+            effs = jax.lax.cond(
+                has_action,
+                lambda es: set_action(cfg, es, action),
+                lambda es: es,
+                state.effectors,
+            )
+            state = state.replace(effectors=effs)
+
+        # smoke runs at step cadence, before the substeps (reference :745-747)
+        if cfg.smoke is not None and smoke_step_fn is not None:
+            state = smoke_step_fn(state, params)
+
+        if cfg.has_particles or cfg.agent is not None:
+            def body(s, _):
+                return substep(s, params, has_action), None
+
+            state, _ = jax.lax.scan(body, state, None, length=cfg.n_substeps)
+        return state
+
+    return step
