@@ -1,0 +1,453 @@
+"""FluidSim — the simulation facade (reference TaichiEnv equivalent).
+
+Owns scene construction (agent, statics, bodies, boundary, smoke, loss,
+renderer) and the built artifacts: a static ``SimCfg``, a ``SceneParams``
+pytree, and the initial ``SimState``.  Mirrors the reference facade API
+(reference fluidlab/fluidengine/taichi_env.py:17-223): setup_agent,
+setup_boundary, add_static, add_body, setup_smoke_field, setup_loss,
+build, step, get/set_state, apply_agent_action_p — but stepping and
+differentiation are pure jitted functions over the state pytree instead of
+mutating device fields.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidlab_tpu.config import materials as M
+from fluidlab_tpu.core.quat import euler_to_quat_np, scale_to_T_np, trans_quat_to_T_np
+from fluidlab_tpu.engine import meshio
+from fluidlab_tpu.engine.bodies import Bodies
+from fluidlab_tpu.engine.boundaries import create_boundary
+from fluidlab_tpu.engine.config import (
+    AgentCfg,
+    ColliderCfg,
+    CollectorCfg,
+    EffectorCfg,
+    SimCfg,
+    SmokeCfg,
+)
+from fluidlab_tpu.engine.mpm import apply_action_p as _apply_action_p
+from fluidlab_tpu.engine.mpm import make_step
+from fluidlab_tpu.engine.rollout import make_rollout
+from fluidlab_tpu.engine.scene import (
+    SceneParams,
+    grid_cell_positions,
+    particle_params_from_properties,
+)
+from fluidlab_tpu.engine.sdf import ColliderParams, precompute_static_grid, voxel_gradient
+from fluidlab_tpu.engine.types import (
+    EffectorState,
+    ParticleState,
+    SimState,
+    init_effector_state,
+)
+from fluidlab_tpu.utils.misc import eval_str
+
+
+class StaticObject:
+    """A static mesh in the scene (reference meshes/static.py).  Colliding
+    statics get precomputed SDF grids; non-colliding ones are visual-only
+    (reference gates collision on has_dynamics, static.py:83)."""
+
+    def __init__(self, file, pos=(0, 0, 0), euler=(0, 0, 0), scale=(1, 1, 1),
+                 material=M.CUP, has_dynamics=False, sdf_res=128, file_vis=None):
+        self.file = file
+        self.file_vis = file_vis or file
+        self.pos = np.asarray(eval_str(pos), dtype=np.float64)
+        self.euler = tuple(eval_str(euler))
+        self.scale = np.asarray(eval_str(scale), dtype=np.float64)
+        self.material = material
+        self.has_dynamics = has_dynamics
+        self.sdf_res = sdf_res
+        self.friction = M.FRICTION.get(material, 0.0)
+
+        quat = euler_to_quat_np(self.euler)
+        self.T_init = trans_quat_to_T_np(self.pos, quat) @ scale_to_T_np(self.scale)
+        if has_dynamics:
+            data = meshio.compute_sdf_data(file, sdf_res)
+            # world -> voxels (statics live in world frame; reference
+            # mesh.py:122-127 folds inv(T_init) into the transform)
+            self.T_world_to_voxels = data["T_mesh_to_voxels"] @ np.linalg.inv(self.T_init)
+            self.sdf_voxels = data["voxels"]
+
+
+_AGENT_TYPE_DEFAULTS = {
+    # reference agent subclasses -> declarative behavior (agents/*.py)
+    "AgentRigid": dict(collide_type="particle"),
+    "AgentInjector": dict(collide_type=None),
+    "AgentPouring": dict(collide_type="both"),
+    "AgentJetBot": dict(collide_type=None, collector_mat=M.WATER),
+    "AgentIceCreamDynamic": dict(
+        collide_type="particle", collide_y_gate=0.25, action_effector=1,
+        clip_action=(-1.0, 1.0), clip_action_p=(0.05, 0.95),
+    ),
+    "AgentCirculation": dict(collide_type=None),
+}
+
+_EFFECTOR_KIND = {
+    "Rigid": "rigid",
+    "Injector": "injector",
+    "BallInjector": "ball_injector",
+    "AirCon": "aircon",
+}
+
+
+class FluidSim:
+    def __init__(
+        self,
+        dim=3,
+        quality=1,
+        particle_density=1e6,
+        max_substeps_local=50,
+        max_substeps_global=100000,
+        horizon=100,
+        ckpt_dest=None,  # accepted for API parity; remat replaces it
+        gravity=(0.0, -10.0, 0.0),
+        seed=0,
+    ):
+        self.dim = dim
+        self.quality = quality
+        self.particle_density = particle_density
+        self.horizon = horizon
+        self.gravity = tuple(gravity)
+        # remat window in control steps (reference max_substeps_local is in
+        # substeps, mpm_simulator.py:27-31)
+        self.window = max(1, max_substeps_local // 10)
+        self.seed = seed
+        self.t = 0
+
+        self.agent_spec = None
+        self.boundary = None
+        self.statics: list[StaticObject] = []
+        self.bodies = Bodies(dim=dim, particle_density=particle_density)
+        self.smoke_cfg: Optional[SmokeCfg] = None
+        self.loss = None
+        self.renderer = None
+        self._built = False
+
+    # ------------------------------------------------------------ scene API
+    def setup_agent(self, agent_cfg: dict):
+        self.agent_spec = copy.deepcopy(agent_cfg)
+
+    def setup_boundary(self, **kwargs):
+        self.boundary = create_boundary(**kwargs)
+
+    def add_static(self, **kwargs):
+        self.statics.append(StaticObject(**kwargs))
+
+    def add_body(self, **kwargs):
+        self.bodies.add_body(**kwargs)
+
+    def setup_smoke_field(self, **kwargs):
+        self.smoke_cfg = SmokeCfg(**kwargs)
+
+    def setup_loss(self, loss_cls, **kwargs):
+        self.loss = loss_cls(max_loss_steps=self.horizon, **kwargs)
+
+    def setup_renderer(self, **kwargs):
+        from fluidlab_tpu.render.pointcloud import PointRenderer
+
+        self.renderer = PointRenderer(**kwargs)
+
+    # ------------------------------------------------------------- building
+    def _build_agent(self):
+        spec = self.agent_spec
+        if spec is None:
+            return None, (), (), (), ()
+        defaults = dict(_AGENT_TYPE_DEFAULTS.get(spec["type"], {}))
+        params = spec.get("params", {}) or {}
+
+        eff_cfgs, colliders, inj_rand, act_ranges = [], [], [], []
+        rng = np.random.default_rng(self.seed)
+        total_substeps = self.horizon * 10
+
+        for espec in spec["effectors"]:
+            ep = dict(espec.get("params", {}) or {})
+            kind = _EFFECTOR_KIND[espec["type"]]
+            boundary = create_boundary(**espec["boundary"])
+            mesh_cfg = espec.get("mesh")
+            collider_cfg = None
+            collider_params = None
+            if mesh_cfg is not None and kind == "rigid":
+                file = mesh_cfg["file"]
+                sdf_res = mesh_cfg.get("sdf_res", 128)
+                data = meshio.compute_sdf_data(file, sdf_res)
+                pos = np.asarray(eval_str(mesh_cfg.get("pos", (0, 0, 0))), dtype=np.float64)
+                euler = tuple(eval_str(mesh_cfg.get("euler", (0, 0, 0))))
+                scale = np.asarray(eval_str(mesh_cfg.get("scale", (1, 1, 1))), dtype=np.float64)
+                T_init = trans_quat_to_T_np(pos, euler_to_quat_np(euler)) @ scale_to_T_np(scale)
+                T = data["T_mesh_to_voxels"] @ np.linalg.inv(T_init)
+                mat = mesh_cfg.get("material", "CUP")
+                mat_id = getattr(M, mat) if isinstance(mat, str) else mat
+                collider_cfg = ColliderCfg(
+                    friction=M.FRICTION.get(mat_id, 0.0),
+                    softness=float(mesh_cfg.get("softness", 0.0)),
+                    has_dynamics=True,
+                    voxel_res=sdf_res,
+                )
+                collider_params = ColliderParams(
+                    sdf=jnp.asarray(data["voxels"]),
+                    grad=jnp.asarray(
+                        voxel_gradient(data["voxels"]).astype(np.float32)
+                    ),
+                    T_mesh_to_voxels=jnp.asarray(T.astype(np.float32)),
+                )
+
+            flux = int(ep.get("flux", 0))
+            radius = float(ep.get("radius", 0.0))
+            rand_table = None
+            if kind in ("injector", "ball_injector") and flux > 0:
+                L = total_substeps
+                if kind == "ball_injector":
+                    # rejection-sampled ball offsets (reference
+                    # injector.py:220-238)
+                    out = []
+                    need = L * flux
+                    while sum(len(o) for o in out) < need:
+                        cand = rng.uniform(-radius, radius, size=(need, 3))
+                        cand = cand[np.linalg.norm(cand, axis=1) <= radius]
+                        out.append(cand)
+                    rand_table = np.concatenate(out)[:need].reshape(L, flux, 3)
+                else:
+                    rand_table = rng.uniform(size=(L, flux, 3))
+                rand_table = jnp.asarray(rand_table.astype(np.float32))
+
+            eff_cfgs.append(
+                EffectorCfg(
+                    kind=kind,
+                    action_dim=int(ep.get("action_dim", 3)),
+                    action_scale_v=tuple(eval_str(ep.get("action_scale_v", (1.0,) * 3))),
+                    action_scale_p=tuple(eval_str(ep.get("action_scale_p", (1.0,) * 3))),
+                    init_pos=tuple(eval_str(ep.get("init_pos", (0.5, 0.5, 0.5)))),
+                    init_euler=tuple(eval_str(ep.get("init_euler", (0.0, 0.0, 0.0)))),
+                    boundary=boundary,
+                    collider=collider_cfg,
+                    flux=flux,
+                    radius=radius,
+                    inject_v=tuple(eval_str(ep.get("inject_v", (0.0, 0.0, 0.0)))),
+                    inject_p=tuple(eval_str(ep.get("inject_p", (0.0, 0.0, 0.0)))),
+                    locally_random=bool(ep.get("locally_random", False)),
+                    randomize_inject_v=bool(ep.get("randomize_inject_v", False)),
+                )
+            )
+            colliders.append(collider_params)
+            inj_rand.append(rand_table)
+            act_ranges.append(None)  # filled in build() from particle pool
+
+        collector = None
+        if "collector_boundary" in params:
+            collector = CollectorCfg(
+                boundary=create_boundary(**params["collector_boundary"]),
+                mat_filter=defaults.pop("collector_mat", None),
+            )
+        else:
+            defaults.pop("collector_mat", None)
+
+        agent_cfg = AgentCfg(
+            effectors=tuple(eff_cfgs),
+            collide_type=defaults.get("collide_type", "particle"),
+            collector=collector,
+            inject_till=params.get("inject_till"),
+            collide_y_gate=defaults.get("collide_y_gate"),
+            action_effector=defaults.get("action_effector"),
+            clip_action=defaults.get("clip_action"),
+            clip_action_p=defaults.get("clip_action_p"),
+        )
+        return agent_cfg, tuple(colliders), tuple(inj_rand), tuple(act_ranges)
+
+    def build(self):
+        particles = self.bodies.get()
+        n_particles = 0 if particles is None else len(particles["x"])
+        self.particles = particles
+
+        if self.boundary is None:
+            self.boundary = create_boundary()
+
+        agent_cfg, colliders, inj_rand, _ = self._build_agent()
+
+        colliding = [s for s in self.statics if s.has_dynamics]
+        has_rigid = particles is not None and bool(
+            np.any(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_RIGID)
+        )
+
+        self.cfg = SimCfg(
+            n_particles=n_particles,
+            n_bodies=0 if particles is None else particles["bodies"]["n"],
+            n_statics=len(colliding),
+            dim=self.dim,
+            quality=self.quality,
+            gravity=self.gravity,
+            horizon=self.horizon,
+            boundary=self.boundary,
+            agent=agent_cfg,
+            smoke=self.smoke_cfg,
+            has_rigid_bodies=has_rigid,
+        )
+
+        # ---- particle params + init state
+        param_kwargs = {}
+        if particles is not None:
+            param_kwargs = particle_params_from_properties(
+                particles["mat"], particles["rho"], particles["body_id"], self.cfg
+            )
+
+        # ---- statics precompute at MPM grid nodes
+        if colliding:
+            cell_pos = grid_cell_positions(self.cfg)
+            sdf_list, nrm_list, fric = [], [], []
+            for s in colliding:
+                sdf_c, nrm_c = precompute_static_grid(
+                    s.sdf_voxels, s.T_world_to_voxels, cell_pos
+                )
+                sdf_list.append(sdf_c)
+                nrm_list.append(nrm_c)
+                fric.append(s.friction)
+            param_kwargs.update(
+                statics_sdf=jnp.asarray(np.stack(sdf_list)),
+                statics_normal=jnp.asarray(np.stack(nrm_list)),
+                statics_friction=jnp.asarray(np.asarray(fric, np.float32)),
+            )
+
+        # ---- injector act ranges from the initially-unused pool
+        act_ranges = []
+        if agent_cfg is not None:
+            unused_idx = (
+                np.where(~particles["used"])[0].astype(np.int32)
+                if particles is not None
+                else np.zeros(0, np.int32)
+            )
+            for ecfg in agent_cfg.effectors:
+                if ecfg.kind in ("injector", "ball_injector") and ecfg.flux > 0:
+                    assert len(unused_idx) > 0, "injector needs a 'nowhere' pool"
+                    act_ranges.append(jnp.asarray(unused_idx))
+                else:
+                    act_ranges.append(None)
+
+        # ---- smoke free mask (statics never move -> build-time constant)
+        smoke_free = None
+        smoke_step_fn = None
+        if self.smoke_cfg is not None:
+            from fluidlab_tpu.engine.smoke import (
+                compute_free_mask,
+                make_smoke_step,
+            )
+
+            smoke_free = compute_free_mask(self.smoke_cfg, colliding)
+            smoke_step_fn = make_smoke_step(self.cfg)
+
+        self.params = SceneParams(
+            colliders=colliders,
+            inj_rand=inj_rand,
+            inj_act_range=tuple(act_ranges),
+            smoke_free=smoke_free,
+            **param_kwargs,
+        )
+
+        # ---- initial state
+        p_state = None
+        if particles is not None:
+            x0 = particles["x"].astype(np.float32)
+            p_state = ParticleState(
+                x=jnp.asarray(x0),
+                v=jnp.zeros((n_particles, 3), jnp.float32),
+                C=jnp.zeros((n_particles, 3, 3), jnp.float32),
+                F=jnp.broadcast_to(
+                    jnp.eye(3, dtype=jnp.float32), (n_particles, 3, 3)
+                ),
+                used=jnp.asarray(particles["used"].astype(bool)),
+            )
+        effs = []
+        if agent_cfg is not None:
+            for ecfg in agent_cfg.effectors:
+                q0 = euler_to_quat_np(ecfg.init_euler).astype(np.float32)
+                effs.append(init_effector_state(ecfg.init_pos, q0))
+        smoke_state = None
+        if self.smoke_cfg is not None:
+            from fluidlab_tpu.engine.smoke import init_smoke_state
+
+            smoke_state = init_smoke_state(self.smoke_cfg)
+
+        self.init_state = SimState(
+            particles=p_state,
+            effectors=tuple(effs),
+            smoke=smoke_state,
+            f_global=jnp.zeros((), jnp.int32),
+        )
+
+        self._smoke_step_fn = smoke_step_fn
+        self._step_fn = jax.jit(make_step(self.cfg, smoke_step_fn))
+        self.state = self.init_state
+        self.t = 0
+
+        if self.loss is not None:
+            self.loss.build(self)
+        if self.renderer is not None:
+            self.renderer.build(self)
+        self._built = True
+
+    # --------------------------------------------------------------- runtime
+    @property
+    def action_dim(self):
+        return 0 if self.cfg.agent is None else self.cfg.agent.action_dim
+
+    def make_rollout_fn(self, with_loss=True):
+        loss_fn = self.loss.loss_fn if (with_loss and self.loss) else None
+        return make_rollout(
+            self.cfg, loss_fn=loss_fn, smoke_step_fn=self._smoke_step_fn,
+            window=self.window,
+        )
+
+    def step(self, action=None):
+        """Interactive single control step (gym path)."""
+        has_action = action is not None
+        a = (
+            jnp.asarray(np.asarray(action, dtype=np.float32))
+            if has_action
+            else jnp.zeros((max(self.action_dim, 1),), jnp.float32)
+        )
+        self.state = self._step_fn(
+            self.state, self.params, a, jnp.asarray(has_action)
+        )
+        self.t += 1
+        if self.loss is not None:
+            aux = self.loss.loss_aux()
+            aux_t = None if aux is None else jax.tree_util.tree_map(
+                lambda arr: arr[self.t - 1], aux
+            )
+            self._last_loss = self.loss.loss_fn(self.state, self.params, aux_t)
+
+    def apply_agent_action_p(self, action_p):
+        self.state = self.state.replace(
+            effectors=_apply_action_p(
+                self.cfg,
+                self.state.effectors,
+                jnp.asarray(np.asarray(action_p, dtype=np.float32)),
+            )
+        )
+
+    def get_step_loss(self):
+        assert self.loss is not None
+        return self.loss.get_step_loss(float(self._last_loss["step_loss"]))
+
+    # state save/restore (reference taichi_env.py:191-215)
+    def get_state(self):
+        return {"state": self.state, "grad_enabled": False}
+
+    def set_state(self, state, grad_enabled=False):
+        self.state = state.replace(f_global=jnp.zeros((), jnp.int32))
+        self.t = 0
+        if self.loss is not None:
+            self.loss.reset()
+
+    def reset(self):
+        self.set_state(self.init_state)
+
+    def render(self, mode="human", tgt_particles=None):
+        assert self.renderer is not None, "No renderer available."
+        return self.renderer.render_frame(self, mode, tgt_particles)

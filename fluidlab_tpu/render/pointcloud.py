@@ -1,0 +1,86 @@
+"""Lightweight software point renderer (numpy).
+
+Stand-in for the reference GGUI viewer (reference renderers/
+ggui_renderer.py): perspective-projects particles and z-buffers them as
+splats to an RGB array.  Good enough for headless parity artifacts and
+`rgb_array` gym rendering; the C++ EGL fluid renderer (FlexRenderer
+replacement, SURVEY.md §2.12) is a separate component.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fluidlab_tpu.core.quat import compute_camera_angle_np
+
+
+class PointRenderer:
+    def __init__(
+        self,
+        res=(512, 512),
+        camera_pos=(1.5, 1.5, 1.5),
+        camera_lookat=(0.5, 0.5, 0.5),
+        fov=30,
+        particle_radius=2,
+        background=(0.12, 0.12, 0.14),
+        lights=None,
+        **_unused,
+    ):
+        self.res = tuple(res)
+        self.camera_pos = np.asarray(camera_pos, np.float64)
+        self.camera_lookat = np.asarray(camera_lookat, np.float64)
+        self.fov = float(fov)
+        self.radius = int(particle_radius)
+        self.background = np.asarray(background, np.float32)
+
+    def build(self, sim):
+        self.sim = sim
+        self.colors = None
+        if sim.particles is not None:
+            self.colors = sim.particles["color"][:, :3].astype(np.float32)
+
+    def _view_matrix(self):
+        fwd = self.camera_lookat - self.camera_pos
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right) + 1e-12
+        up2 = np.cross(right, fwd)
+        return np.stack([right, up2, -fwd]), self.camera_pos
+
+    def render_frame(self, sim, mode="rgb_array", tgt_particles=None):
+        W, H = self.res
+        img = np.tile(self.background, (H, W, 1)).copy()
+        zbuf = np.full((H, W), np.inf)
+
+        if sim.state.particles is not None:
+            x = np.asarray(sim.state.particles.x)
+            used = np.asarray(sim.state.particles.used)
+            R, cam = self._view_matrix()
+            pts = (x[used] - cam) @ R.T
+            colors = (
+                self.colors[used]
+                if self.colors is not None
+                else np.full((used.sum(), 3), 0.6, np.float32)
+            )
+            z = -pts[:, 2]
+            valid = z > 1e-3
+            pts, colors, z = pts[valid], colors[valid], z[valid]
+            f = 0.5 * H / np.tan(np.deg2rad(self.fov) / 2)
+            u = (pts[:, 0] / z * f + W / 2).astype(np.int32)
+            v = (H / 2 - pts[:, 1] / z * f).astype(np.int32)
+            ok = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            u, v, z, colors = u[ok], v[ok], z[ok], colors[ok]
+            # painter's by z-sort (far to near)
+            order = np.argsort(-z)
+            u, v, colors = u[order], v[order], colors[order]
+            r = self.radius
+            for du in range(-r, r + 1):
+                for dv in range(-r, r + 1):
+                    if du * du + dv * dv > r * r:
+                        continue
+                    uu = np.clip(u + du, 0, W - 1)
+                    vv = np.clip(v + dv, 0, H - 1)
+                    img[vv, uu] = colors
+        frame = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return frame
