@@ -1,0 +1,175 @@
+"""Experiment (solver) configurations.
+
+Mirrors the reference yacs three-tier config (reference
+fluidlab/configs/default_config.py:1-38 + configs/exp_*.yaml) as plain
+dicts: defaults + per-task overrides, optionally merged from a user yaml.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from fluidlab_tpu.utils.misc import eval_str
+
+DEFAULT = dict(
+    EXP=dict(seed=0, env_name="LatteArt-v0"),
+    SOLVER=dict(
+        n_iters=500,
+        init_range=dict(
+            v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+            p=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+        ),
+        optim=dict(
+            type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.999, epsilon=1e-8
+        ),
+    ),
+)
+
+# per-task experiment configs (reference configs/exp_*.yaml)
+EXPERIMENTS = {
+    "latteart": dict(
+        EXP=dict(seed=0, env_name="LatteArt-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "latteart_stir": dict(
+        EXP=dict(seed=0, env_name="LatteArtStir-v0"),
+        SOLVER=dict(
+            n_iters=5000,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.5, 0.73, 0.5), (0.5, 0.73, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "pouring": dict(
+        EXP=dict(seed=0, env_name="Pouring-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0,) * 6, (0.0,) * 6),
+                p=((0.6, 0.7, 0.5, 0.0, 0.0, 0.0), (0.6, 0.7, 0.5, 0.0, 0.0, 0.0)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "gathering_easy": dict(
+        EXP=dict(seed=0, env_name="GatheringEasy-v0"),
+        SOLVER=dict(
+            n_iters=1000,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.73, 0.4, 0.5), (0.73, 0.4, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=5e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "gatheringO": dict(
+        EXP=dict(seed=0, env_name="GatheringO-v0"),
+        SOLVER=dict(
+            n_iters=1000,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.5, 0.4, 0.2), (0.5, 0.4, 0.2)),
+            ),
+            optim=dict(type="Adam", lr=5e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "icecream_dynamic": dict(
+        EXP=dict(seed=0, env_name="IceCreamDynamic-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.35, 0.3, 0.5), (0.35, 0.3, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "icecream_static": dict(
+        EXP=dict(seed=0, env_name="IceCreamStatic-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.62, 0.36, 0.5), (0.62, 0.36, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "transporting": dict(
+        EXP=dict(seed=0, env_name="Transporting-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0,) * 6, (0.0,) * 6),
+                p=((0.5, 0.2, 0.5, 0.0, 0.0, 0.0), (0.5, 0.2, 0.5, 0.0, 0.0, 0.0)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "mixing": dict(
+        EXP=dict(seed=0, env_name="Mixing-v0"),
+        SOLVER=dict(
+            n_iters=2000,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.5, 0.73, 0.5), (0.5, 0.73, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "circulation": dict(
+        EXP=dict(seed=0, env_name="Circulation-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0,) * 8, (0.0,) * 8),
+                p=(
+                    (0.55, 0.5, 0.27, 0, 0, 0, 0, 0),
+                    (0.55, 0.5, 0.27, 0, 0, 0, 0, 0),
+                ),
+            ),
+            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+}
+
+
+def _deep_merge(base, over):
+    out = copy.deepcopy(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _normalize(cfg):
+    ir = cfg["SOLVER"]["init_range"]
+    for key in ("v", "p"):
+        ir[key] = eval_str(ir[key]) if isinstance(ir[key], str) else ir[key]
+    return cfg
+
+
+def load_config(name_or_path: str) -> dict:
+    """Load an experiment config by short name ('latteart'), by env id, or
+    from a yaml file path with the reference's EXP/SOLVER layout."""
+    if name_or_path in EXPERIMENTS:
+        return _normalize(_deep_merge(DEFAULT, EXPERIMENTS[name_or_path]))
+    for short, cfg in EXPERIMENTS.items():
+        if cfg["EXP"]["env_name"] == name_or_path:
+            return _normalize(_deep_merge(DEFAULT, cfg))
+    import yaml
+
+    with open(name_or_path) as f:
+        user = yaml.safe_load(f)
+    return _normalize(_deep_merge(DEFAULT, user))

@@ -58,6 +58,7 @@ def make_rollout(
     loss_fn: Optional[Callable] = None,
     smoke_step_fn=None,
     window: Optional[int] = None,
+    action_overlay: Optional[Callable] = None,
 ):
     """Build ``rollout(state0, params, actions_v, action_mask, action_p,
     loss_aux) -> (final_state, per_step_losses)``.
@@ -72,6 +73,9 @@ def make_rollout(
       particle positions per step), sliced into ``loss_fn``.
     - ``loss_fn(state, params, aux_t) -> pytree of scalars`` evaluated
       after every control step (reference loss.step(), loss.py:72-78).
+    - ``action_overlay(state, a, t, action_p) -> a``: optional pure
+      on-device action rewrite per step (scripted policy phases that
+      depend on live effector state, see optimizer/policies.py).
     """
     step = make_step(cfg, smoke_step_fn)
 
@@ -91,13 +95,19 @@ def make_rollout(
                 effectors=apply_action_p(cfg, state0.effectors, action_p)
             )
 
+        ap = action_p if action_p is not None else jnp.zeros(
+            (actions_v.shape[-1],), actions_v.dtype
+        )
+
         def body(state, inp):
-            a, has_a, aux = inp
+            a, has_a, t, aux = inp
+            if action_overlay is not None:
+                a = action_overlay(state, a, t, ap)
             state = step(state, params, a, has_a)
             out = loss_fn(state, params, aux) if loss_fn is not None else 0.0
             return state, out
 
-        xs = (actions_v, action_mask, loss_aux)
+        xs = (actions_v, action_mask, jnp.arange(H), loss_aux)
         return checkpointed_scan(body, state0, xs, window=window)
 
     return rollout

@@ -396,11 +396,12 @@ class FluidSim:
     def action_dim(self):
         return 0 if self.cfg.agent is None else self.cfg.agent.action_dim
 
-    def make_rollout_fn(self, with_loss=True):
+    def make_rollout_fn(self, with_loss=True, action_overlay=None, window=None):
         loss_fn = self.loss.loss_fn if (with_loss and self.loss) else None
         return make_rollout(
             self.cfg, loss_fn=loss_fn, smoke_step_fn=self._smoke_step_fn,
-            window=self.window,
+            window=self.window if window is None else window,
+            action_overlay=action_overlay,
         )
 
     def step(self, action=None):

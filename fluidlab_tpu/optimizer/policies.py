@@ -1,0 +1,308 @@
+"""Trajectory policies: recorded, interactive and trainable.
+
+Redesign of the reference policy layer (reference fluidlab/optimizer/
+policies.py:10-367).  A ``TrainablePolicy`` holds numpy parameters
+(actions_v, actions_p), a trainable mask, fix_dim, freeze_till and the
+Adam state, exactly like the reference, plus per-task schedules.
+
+The reference's Gathering/Mixing policies mutate actions *during* the
+forward rollout from the live effector position (policies.py:240-258,
+318-325).  Inside a jitted scan that becomes a *scripted overlay*: a pure
+function of (state, raw action, step index) evaluated on-device — same
+trajectories, no host round-trips (see ``make_scripted_overlay``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fluidlab_tpu.optimizer.optim import Adam, Optimizer  # noqa: F401
+
+
+class ActionsPolicy:
+    """Fixed recorded actions (reference policies.py:10-19)."""
+
+    def __init__(self, comp_actions):
+        self.actions_v = comp_actions[:-1]
+        self.actions_p = comp_actions[-1]
+
+    def get_actions_p(self):
+        return self.actions_p
+
+    def get_action_v(self, i, **kwargs):
+        return self.actions_v[i]
+
+
+class KeyboardPolicy:
+    """Interactive keyboard control (reference policies.py:21-85).
+    Requires pynput; raises if unavailable (headless)."""
+
+    def __init__(self, init_p, v_lin=0.003, v_ang=0.03):
+        from pynput import keyboard  # noqa: F401  (optional dep)
+
+        self.actions_p = init_p
+        self.keys_activated = set()
+        self.linear_v_mag = v_lin
+        self.angular_v_mag = v_ang
+        self.listener = keyboard.Listener(
+            on_press=self._on_press, on_release=self._on_release
+        )
+        self.listener.start()
+
+    def _on_press(self, key):
+        try:
+            self.keys_activated.add(key.char)
+        except AttributeError:
+            pass
+
+    def _on_release(self, key):
+        try:
+            self.keys_activated.discard(key.char)
+        except AttributeError:
+            pass
+
+    def get_actions_p(self):
+        return self.actions_p
+
+
+class TrainablePolicy:
+    """reference policies.py:131-164."""
+
+    def __init__(self, optim_cfg, init_range, action_dim, horizon,
+                 action_range, fix_dim=None):
+        self.horizon = horizon
+        self.action_dim = action_dim
+        init_v = _get(init_range, "v")
+        init_p = _get(init_range, "p")
+        self.actions_v = np.random.uniform(
+            init_v[0], init_v[1], size=(horizon, action_dim)
+        )
+        self.actions_p = np.random.uniform(init_p[0], init_p[1], size=(action_dim,))
+        self.action_range = action_range
+        self.comp_actions_shape = (horizon + 1, action_dim)
+        self.trainable = np.full(self.comp_actions_shape[0], True)
+        self.fix_dim = fix_dim
+        self.freeze_till = 0
+        self.scripted = None  # optional overlay descriptor
+
+        optim_type = _get(optim_cfg, "type", "Adam")
+        optim_cls = {"Adam": Adam}[optim_type]
+        self.optim = optim_cls(self.comp_actions_shape, optim_cfg)
+
+    @property
+    def comp_actions(self):
+        return np.vstack([self.actions_v, self.actions_p[None, :]])
+
+    def get_actions_p(self):
+        return self.actions_p
+
+    def get_action_v(self, i, **kwargs):
+        return self.actions_v[i]
+
+    def optimize(self, grads, loss_info):
+        assert grads.shape == self.comp_actions_shape
+        grads = np.array(grads)
+        grads[np.logical_not(self.trainable)] = 0
+        if self.fix_dim is not None:
+            grads[:, self.fix_dim] = 0
+        new_comp_actions = self.optim.step(self.comp_actions, grads)
+        self.actions_p = new_comp_actions[-1]
+        self.actions_v = new_comp_actions[:-1].clip(*self.action_range)
+
+
+def _get(cfg, key, default=None):
+    if cfg is None:
+        return default
+    if isinstance(cfg, dict):
+        return cfg.get(key, default)
+    return getattr(cfg, key, default)
+
+
+class LatteArtPolicy(TrainablePolicy):
+    pass
+
+
+class LatteArtStirPolicy(TrainablePolicy):
+    """lr decay + freezing as the temporal range expands (reference
+    policies.py:172-192)."""
+
+    def optimize(self, grads, loss_info):
+        super().optimize(grads, loss_info)
+        tr = loss_info["temporal_range"]
+        if tr > 250:
+            self.optim.lr = self.optim.init_lr * 0.2
+        elif tr > 150:
+            self.optim.lr = self.optim.init_lr * 0.5
+        for step in [400, 350, 300, 250, 200, 150, 100]:
+            if tr > step:
+                self.freeze_till = step - 100
+                self.trainable[: self.freeze_till] = False
+                break
+
+
+class IceCreamDynamicPolicy(TrainablePolicy):
+    """Trains only steps 169+ (reference policies.py:195-200)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable = np.full(self.comp_actions_shape[0], False)
+        self.trainable[169:-1] = True
+
+
+class IceCreamStaticPolicy(TrainablePolicy):
+    """Gradient clip +-1e5 and lr decay (reference policies.py:203-215)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable = np.full(self.comp_actions_shape[0], False)
+        self.trainable[:-1] = True
+
+    def optimize(self, grads, loss_info):
+        grads = np.asarray(grads).clip(-1e5, 1e5)
+        super().optimize(grads, loss_info)
+        if loss_info["temporal_range"] > 450:
+            self.optim.lr = self.optim.init_lr * 0.1
+
+
+def _stage_status(horizon, stage_step):
+    """4-phase move/up/return/down cycle (reference policies.py:218-236)."""
+    trainable = np.full(horizon + 1, False)
+    status = np.zeros(horizon + 1, np.int32)
+    for i in range(horizon):
+        m = i % stage_step[3]
+        if m < stage_step[0]:
+            trainable[i] = True
+            status[i] = 0
+        elif m < stage_step[1]:
+            status[i] = 1
+        elif m < stage_step[2]:
+            status[i] = 2
+        else:
+            status[i] = 3
+    return trainable, status
+
+
+class GatheringPolicy(TrainablePolicy):
+    """reference policies.py:218-265: scripted 4-phase cycle, only 'move'
+    segments trainable; freeze-behind as the range expands."""
+
+    stage_step = (50, 65, 105, 120)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable, self.status = _stage_status(self.horizon, self.stage_step)
+        self.scripted = dict(
+            kind="gathering", status=self.status[:-1], stage_step=self.stage_step
+        )
+
+    def optimize(self, grads, loss_info):
+        for step in [720, 600, 480, 360, 240, 120]:
+            if loss_info["temporal_range"] > step:
+                self.freeze_till = loss_info["temporal_range"] - 120
+                self.trainable[: self.freeze_till] = False
+                break
+        super().optimize(grads, loss_info)
+
+
+class GatheringOPolicy(TrainablePolicy):
+    """reference policies.py:268-304 (no freezing schedule)."""
+
+    stage_step = (50, 65, 105, 120)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable, self.status = _stage_status(self.horizon, self.stage_step)
+        self.scripted = dict(
+            kind="gathering", status=self.status[:-1], stage_step=self.stage_step
+        )
+
+
+class MixingPolicy(TrainablePolicy):
+    """reference policies.py:306-339: 2-phase stir/return cycle."""
+
+    stage_step = (50, 80)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable = np.full(self.comp_actions_shape[0], False)
+        self.status = np.zeros(self.comp_actions_shape[0], np.int32)
+        for i in range(self.horizon):
+            if i % self.stage_step[1] < self.stage_step[0]:
+                self.trainable[i] = True
+            else:
+                self.status[i] = 1
+        self.scripted = dict(
+            kind="mixing", status=self.status[:-1], stage_step=self.stage_step,
+            home=np.array([0.5, 0.73, 0.5]),
+        )
+
+    def optimize(self, grads, loss_info):
+        super().optimize(grads, loss_info)
+        for step in list(range(80, 2000, 80))[::-1]:
+            if loss_info["temporal_range"] > step:
+                self.freeze_till = loss_info["temporal_range"] - 160
+                self.trainable[: self.freeze_till] = False
+                break
+
+
+class CirculationPolicy(TrainablePolicy):
+    pass
+
+
+class PouringPolicy(TrainablePolicy):
+    pass
+
+
+class TransportingPolicy(TrainablePolicy):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.trainable = np.full(self.comp_actions_shape[0], False)
+        self.trainable[:-1] = True
+
+
+def make_scripted_overlay(policy: TrainablePolicy):
+    """Turn a policy's scripted phases into a pure on-device overlay
+    ``(state, a_raw, t, actions_p) -> a``, replacing the reference's
+    live-rollout action mutation (policies.py:240-258, 318-325)."""
+    if policy.scripted is None:
+        return None
+    desc = policy.scripted
+    status = jnp.asarray(desc["status"])
+
+    if desc["kind"] == "gathering":
+        s0, s1, s2, s3 = desc["stage_step"]
+
+        def overlay(state, a, t, actions_p):
+            st = status[t]
+            eff_pos = state.effectors[0].pos
+            cyc = t % s3
+            up = jnp.asarray([0.0, 0.008, 0.0], a.dtype)
+            down = jnp.asarray([0.0, -0.008, 0.0], a.dtype)
+            denom = jnp.maximum(s2 - cyc, 1).astype(a.dtype)
+            back = (actions_p[:3] - eff_pos) / denom
+            back = back.at[1].set(0.0)
+            return jnp.select(
+                [st == 0, st == 1, st == 2],
+                [a, up, back],
+                down,
+            )
+
+        return overlay
+
+    if desc["kind"] == "mixing":
+        s0, s1 = desc["stage_step"]
+        home = jnp.asarray(desc["home"], jnp.float32)
+
+        def overlay(state, a, t, actions_p):
+            st = status[t]
+            eff_pos = state.effectors[0].pos
+            denom = jnp.maximum(s1 - t % s1, 1).astype(a.dtype)
+            back = (home - eff_pos) / denom
+            return jnp.where(st == 1, back, a)
+
+        return overlay
+
+    raise ValueError(desc["kind"])

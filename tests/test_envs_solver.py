@@ -1,0 +1,123 @@
+"""Full-stack smoke tests: env registry -> record target -> solve.
+
+Miniature LatteArt (reduced density/horizon) exercises: scene build, gym
+API, demo-policy recording, target loading, jitted fwd+bwd rollout, Adam
+updates, curriculum bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+import fluidlab_tpu.envs as envs
+from fluidlab_tpu.envs.tasks import LatteArtEnv
+from fluidlab_tpu.optimizer.recorder import Recorder
+from fluidlab_tpu.optimizer.solver import Solver
+from fluidlab_tpu.utils.io import get_tgt_path
+
+
+class TinyLatteArtEnv(LatteArtEnv):
+    horizon = 10
+    horizon_action = 8
+
+    def __init__(self, target_file=None, **kwargs):
+        kwargs.setdefault("particle_density", 2e4)
+        self._tiny_target = target_file or get_tgt_path("TinyLatteArt-test.pkl")
+        super().__init__(**kwargs)
+
+    def setup_loss(self):
+        self.target_file = self._tiny_target
+        super().setup_loss()
+
+    def build_env(self):
+        super().build_env()
+        self.target_file = self._tiny_target
+
+    def setup_renderer(self):
+        self.sim.renderer = None  # headless
+
+
+@pytest.fixture(scope="module")
+def recorded_env(tmp_path_factory):
+    env = TinyLatteArtEnv(loss=False, seed=0)
+    env.target_file = str(
+        tmp_path_factory.mktemp("targets") / "TinyLatteArt.pkl"
+    )
+    Recorder(env).record()
+    return env
+
+
+class TestRegistry:
+    def test_available(self):
+        names = envs.available_envs()
+        for n in [
+            "LatteArt-v0", "LatteArtStir-v0", "Pouring-v0", "GatheringEasy-v0",
+            "GatheringO-v0", "IceCreamDynamic-v0", "IceCreamStatic-v0",
+            "Transporting-v0", "Mixing-v0", "Circulation-v0",
+        ]:
+            assert n in names
+
+
+class TestRecordAndSolve:
+    def test_record_creates_target(self, recorded_env):
+        import os
+        import pickle as pkl
+
+        assert os.path.exists(recorded_env.target_file)
+        with open(recorded_env.target_file, "rb") as f:
+            target = pkl.load(f)
+        assert len(target["x"]) == recorded_env.horizon
+        assert target["x"][0].shape == (recorded_env.sim.cfg.n_particles, 3)
+        # demo policy injected milk: used count grows over the recording
+        assert target["used"][-1].sum() > target["used"][0].sum()
+
+    def test_solver_reduces_loss(self, recorded_env):
+        env = TinyLatteArtEnv(
+            loss=True, seed=0, target_file=recorded_env.target_file
+        )
+
+        cfg = dict(
+            n_iters=3,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+        )
+        solver = Solver(env, logger=None, cfg=cfg)
+        policy = env.trainable_policy(cfg["optim"], cfg["init_range"])
+        fwd_bwd = solver._build_fwd_bwd(policy)
+
+        import jax.numpy as jnp
+
+        losses = []
+        for it in range(3):
+            mask = env.sim.loss.temporal_mask()
+            tot, step_out, (g_v, g_p) = fwd_bwd(
+                jnp.asarray(policy.actions_v, jnp.float32),
+                jnp.asarray(policy.actions_p, jnp.float32),
+                mask,
+            )
+            losses.append(float(tot))
+            grad = np.concatenate(
+                [np.asarray(g_v, np.float64), np.asarray(g_p, np.float64)[None]]
+            )
+            assert np.all(np.isfinite(grad))
+            info = env.sim.loss.get_final_loss_info(
+                np.asarray(step_out["step_loss"], np.float64)
+            )
+            policy.optimize(grad, info)
+
+        assert np.isfinite(losses).all()
+        # gradient must be nonzero (actions influence the loss)
+        assert np.abs(grad).max() > 0
+
+    def test_gym_step_api(self, recorded_env):
+        env = TinyLatteArtEnv(
+            loss=True, seed=0, target_file=recorded_env.target_file
+        )
+        obs = env.reset()
+        assert obs.ndim == 1 and np.isfinite(obs).all()
+        a = env.action_space.sample()
+        obs, reward, done, info = env.step(a)
+        assert np.isfinite(reward)
+        assert not done
