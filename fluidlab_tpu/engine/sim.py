@@ -159,7 +159,7 @@ class FluidSim:
     def _build_agent(self):
         spec = self.agent_spec
         if spec is None:
-            return None, (), (), (), ()
+            return None, (), (), ()
         defaults = dict(_AGENT_TYPE_DEFAULTS.get(spec["type"], {}))
         params = spec.get("params", {}) or {}
 
