@@ -31,28 +31,41 @@ def main():
     from fluidlab_tpu.engine.mpm import make_step
     from fluidlab_tpu.utils.bench_scenes import liquid_block_scene
 
+    os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     n_particles = int(os.environ.get("BENCH_PARTICLES", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 25))
     cfg, params, state = liquid_block_scene(
         n_particles=n_particles, horizon=10
     )
-    step = jax.jit(make_step(cfg))
+    step = make_step(cfg)
     action = jnp.zeros((1,), jnp.float32)
     has_action = jnp.asarray(False)
 
-    # compile + warmup
-    state1 = step(state, params, action, has_action)
-    jax.block_until_ready(state1)
+    # one dispatch covers n_steps control steps: measures device
+    # throughput, not host/tunnel round-trip latency
+    @jax.jit
+    def roll(s):
+        def body(carry, _):
+            return step(carry, params, action, has_action), None
 
-    # timed: chain of control steps (10 substeps each)
-    n_steps = int(os.environ.get("BENCH_STEPS", 100))
-    s = state
+        out, _ = jax.lax.scan(body, s, None, length=n_steps)
+        return out
+
+    s1 = roll(state)  # compile + warmup
+    jax.block_until_ready(s1)
+
+    reps = int(os.environ.get("BENCH_REPS", 3))
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        s = step(s, params, action, has_action)
+    s = s1
+    for _ in range(reps):
+        s = roll(s)
     jax.block_until_ready(s)
     dt = time.perf_counter() - t0
 
-    substeps = n_steps * cfg.n_substeps
+    substeps = n_steps * cfg.n_substeps * reps
     substeps_per_s = substeps / dt
     baseline = 1000.0
     print(
