@@ -166,6 +166,10 @@ def make_substep(cfg: SimCfg):
     agent = cfg.agent
     stencil = [tuple(int(v) for v in o) for o in STENCIL]
 
+    from fluidlab_tpu.ops.p2g import get_p2g
+
+    _p2g = get_p2g(cfg.p2g_impl)
+
     # grid node world positions, as a compile-time constant expression
     def _cell_pos():
         ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
@@ -224,25 +228,12 @@ def make_substep(cfg: SimCfg):
         F_new = jnp.where(is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp))
         F_next = jnp.where(used[:, None, None], F_new, F)
 
-        # ---- P2G: one batched scatter-add of the 27-point stencil (:331-353)
+        # ---- P2G: particle-to-grid transfer of the 27-point stencil
+        # (:331-353); implementation selected by cfg.p2g_impl (ops/p2g.py)
         base, fx = base_and_fx(x, inv_dx)
         base = jnp.clip(base, 0, G - 3)
         w = quadratic_weights(fx)  # (N, 3, 3)
-        mom = params.p_mass[:, None] * v
-        idx_parts = []
-        val_parts = []
-        for (oi, oj, ok) in stencil:
-            wi = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2] * usedf
-            off = jnp.asarray([oi, oj, ok], dtype=x.dtype)
-            dpos = (off - fx) * dx
-            val3 = wi[:, None] * (mom + jnp.einsum("pij,pj->pi", affine, dpos))
-            valm = wi * params.p_mass
-            idx = (base[:, 0] + oi) * (G * G) + (base[:, 1] + oj) * G + (base[:, 2] + ok)
-            idx_parts.append(idx)
-            val_parts.append(jnp.concatenate([val3, valm[:, None]], axis=-1))
-        idxs = jnp.concatenate(idx_parts)
-        vals = jnp.concatenate(val_parts)
-        grid = jnp.zeros((G3, 4), dtype=x.dtype).at[idxs].add(vals)
+        grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx)
 
         # ---- effector pose integration (before grid_op: collider velocity
         # needs pos[f] and pos[f+1]; reference substep stage order :515-533)

@@ -1,0 +1,62 @@
+"""Time the real substep/step functions with chained (non-CSE-able)
+state, plus ablations to find the cost center."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    platform = os.environ.get("BENCH_PLATFORM")
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidlab_tpu.engine.mpm import make_substep
+    from fluidlab_tpu.utils.bench_scenes import liquid_block_scene
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    inner = 10
+
+    impls = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["scatter", "sort"])
+
+    for impl in impls:
+        cfg, params, state = liquid_block_scene(n_particles=N, horizon=10)
+        cfg = dataclasses.replace(cfg, p2g_impl=impl)
+        substep = make_substep(cfg)
+
+        @jax.jit
+        def chain(s):
+            def body(carry, _):
+                return substep(carry, params, jnp.asarray(False)), None
+
+            out, _ = jax.lax.scan(body, s, None, length=inner)
+            return out
+
+        s1 = chain(state)
+        jax.block_until_ready(s1)
+        t0 = time.perf_counter()
+        s = s1
+        for _ in range(reps):
+            s = chain(s)
+        jax.block_until_ready(s)
+        dt = (time.perf_counter() - t0) / (reps * inner)
+        print(f"substep[{impl:8s}] {dt * 1e3:9.3f} ms  "
+              f"({1.0 / dt:8.1f} substeps/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
