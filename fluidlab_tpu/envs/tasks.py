@@ -909,9 +909,15 @@ class CirculationEnv(FluidEnv):
     def setup_bodies(self):
         self.sim.add_body(type="nowhere", n_particles=10, material=M.WATER)
 
+    smoke_res = 128
+    smoke_solver_iters = 50
+
     def setup_smoke_field(self):
+        r = self.smoke_res
         self.sim.setup_smoke_field(
-            res=128, dt=0.03, solver_iters=50, decay=0.99, q_dim=1
+            res=r, dt=0.03, solver_iters=self.smoke_solver_iters,
+            decay=0.99, q_dim=1,
+            lower_y=int(60 * r / 128), higher_y=int(68 * r / 128),
         )
 
     def setup_boundary(self):
@@ -924,7 +930,8 @@ class CirculationEnv(FluidEnv):
 
     def setup_loss(self):
         self.sim.setup_loss(
-            loss_cls=CirculationLoss, type=self.loss_type, weights={"temp": 1.0}
+            loss_cls=CirculationLoss, type=self.loss_type,
+            weights={"temp": 1.0}, grid_res=self.smoke_res,
         )
 
     def demo_policy(self, user_input=False):

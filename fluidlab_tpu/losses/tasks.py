@@ -372,14 +372,21 @@ class CirculationLoss(Loss):
         dtype=np.int32,
     )
 
-    def __init__(self, type="diff", **kwargs):
+    def __init__(self, type="diff", grid_res=128, **kwargs):
         super().__init__(temporal_range_type="all", **kwargs)
         self.plateau_count_limit = 10
+        self.grid_res = grid_res
 
     def build(self, sim):
         self.temp_weight = self.weights.get("temp", 1.0)
         super().build(sim)
-        self._det = jnp.asarray(self.DETECTORS)
+        dets = self.DETECTORS
+        if self.grid_res != 128:  # scale detector voxels for test grids
+            dets = np.clip(
+                (dets.astype(np.float64) * self.grid_res / 128).astype(np.int32),
+                0, self.grid_res - 1,
+            )
+        self._det = jnp.asarray(dets)
         targets = np.zeros(len(self.DETECTORS), np.float32)
         targets[:5] = 1.0
         self._targets = jnp.asarray(targets)
