@@ -28,6 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from fluidlab_tpu.core import mat3
+
 _TINY = 1e-30
 _SWEEPS = 5  # 3x3 Jacobi converges quadratically; 5 sweeps is ample for f32.
 
@@ -142,8 +144,8 @@ def _svd3_impl(A):
     s2 = jnp.sqrt(jnp.maximum(w2, 0.0))
 
     # U columns = A v_i / s_i, robustly re-orthonormalized
-    Av0 = jnp.einsum("...ij,...j->...i", A, vc0)
-    Av1 = jnp.einsum("...ij,...j->...i", A, vc1)
+    Av0 = mat3.matvec3(A, vc0)
+    Av1 = mat3.matvec3(A, vc1)
 
     e0 = jnp.zeros_like(Av0).at[..., 0].set(1.0)
     n0 = jnp.sqrt(jnp.sum(Av0 * Av0, axis=-1, keepdims=True))
@@ -166,7 +168,7 @@ def _svd3_impl(A):
     # signed singular values from diag(U^T A V); keep eigen-route magnitudes
     d0 = jnp.sum(u0 * Av0, axis=-1)
     d1 = jnp.sum(u1 * Av1, axis=-1)
-    Av2 = jnp.einsum("...ij,...j->...i", A, vc2)
+    Av2 = mat3.matvec3(A, vc2)
     d2 = jnp.sum(u2 * Av2, axis=-1)
     sign2 = jnp.where(d2 < 0, -1.0, 1.0).astype(dtype)
     s = jnp.stack([s0, s1, sign2 * s2], axis=-1)
@@ -202,16 +204,16 @@ def _svd3_bwd(res, cotangents):
     F = 1.0 / _clamp_denominator(diff)
     F = F * (1.0 - jnp.eye(3, dtype=F.dtype))
 
-    Ut = jnp.swapaxes(U, -1, -2)
-    Vt = jnp.swapaxes(V, -1, -2)
+    # all products via mat3 (VPU, no dot_general)
+    mm, mm_tn, mm_nt = mat3.matmul3, mat3.matmul3_tn, mat3.matmul3_nt
     S = s[..., None] * jnp.eye(3, dtype=s.dtype)  # diag(s)
     gS = gs[..., None] * jnp.eye(3, dtype=s.dtype)
 
-    S_term = U @ gS @ Vt
-    inner_u = F * (Ut @ gU - jnp.swapaxes(gU, -1, -2) @ U)
-    u_term = U @ (inner_u @ S) @ Vt
-    inner_v = F * (Vt @ gV - jnp.swapaxes(gV, -1, -2) @ V)
-    v_term = U @ (S @ (inner_v @ Vt))
+    S_term = mm_nt(mm(U, gS), V)
+    inner_u = F * (mm_tn(U, gU) - mm_tn(gU, U))
+    u_term = mm_nt(mm(U, mm(inner_u, S)), V)
+    inner_v = F * (mm_tn(V, gV) - mm_tn(gV, V))
+    v_term = mm(U, mm(S, mm_nt(inner_v, V)))
     return (u_term + v_term + S_term,)
 
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from fluidlab_tpu.config import materials as M
 from fluidlab_tpu.core import quat as quat_ops
 from fluidlab_tpu.core.bspline import STENCIL, base_and_fx, quadratic_weights
+from fluidlab_tpu.core.mat3 import diag_matmul3, matmul3, matmul3_nt, matvec3
 from fluidlab_tpu.core.svd3 import svd3
 from fluidlab_tpu.engine import sdf as sdf_ops
 from fluidlab_tpu.engine.config import AgentCfg, SimCfg
@@ -200,16 +201,15 @@ def make_substep(cfg: SimCfg):
         usedf = used.astype(x.dtype)
 
         # ---- F_tmp = (I + dt C) F and its SVD (reference :254-264)
-        F_tmp = jnp.einsum("pij,pjk->pik", _EYE3 + dt * C, F)
+        F_tmp = matmul3(_EYE3 + dt * C, F)
         F_tmp = jnp.where(used[:, None, None], F_tmp, _EYE3)
         U, sig, V = svd3(F_tmp)
 
         # ---- stress (corotated + volumetric, reference p2g :339-344)
         J = sig[:, 0] * sig[:, 1] * sig[:, 2]
-        R = jnp.einsum("pij,pkj->pik", U, V)  # U V^T
-        Ft_T = jnp.swapaxes(F_tmp, -1, -2)
-        stress = 2.0 * params.p_mu[:, None, None] * jnp.einsum(
-            "pij,pjk->pik", F_tmp - R, Ft_T
+        R = matmul3_nt(U, V)  # U V^T
+        stress = 2.0 * params.p_mu[:, None, None] * matmul3_nt(
+            F_tmp - R, F_tmp
         ) + _EYE3 * (params.p_lam * J * (J - 1.0))[:, None, None]
         stress = (-dt * p_vol * 4.0 * inv_dx * inv_dx) * stress
         affine = stress + params.p_mass[:, None, None] * C
@@ -217,9 +217,7 @@ def make_substep(cfg: SimCfg):
         # ---- deformation-gradient update by material class (:355-378)
         F_liquid = _EYE3 * jnp.cbrt(J)[:, None, None]
         sig_clamped = jnp.clip(sig, 1.0 - 2e-3, 1.0 + 3e-3)
-        F_plastic = jnp.einsum(
-            "pij,pj,pkj->pik", U, sig_clamped, V
-        )
+        F_plastic = diag_matmul3(U, sig_clamped, V)
         cls = params.p_mat_cls
         is_liquid = (cls == M.MAT_LIQUID)[:, None, None]
         is_plastic = (
@@ -309,11 +307,8 @@ def make_substep(cfg: SimCfg):
                 num_segments=B,
             )
             Ub, sb, Vb = svd3(H)
-            Rb = jnp.einsum("bij,bkj->bik", Vb, Ub)  # V U^T (reference :495)
-            x_rigid = (
-                jnp.einsum("pij,pj->pi", Rb[params.p_body], d0)
-                + com1[params.p_body]
-            )
+            Rb = matmul3_nt(Vb, Ub)  # V U^T (reference :495)
+            x_rigid = matvec3(Rb[params.p_body], d0) + com1[params.p_body]
             x_adv = jnp.where((rigid > 0)[:, None], x_rigid, x_adv)
         x_next = jnp.where(used[:, None], x_adv, x)
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from fluidlab_tpu.core.bspline import STENCIL
+from fluidlab_tpu.core.mat3 import matvec3
 
 _OFFSETS = [tuple(int(v) for v in o) for o in STENCIL]
 
@@ -40,7 +41,7 @@ def _stencil_values(base, fx, w, usedf, mass, v, affine, G, dx):
         wi = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2] * usedf
         off = jnp.asarray([oi, oj, ok], dtype=fx.dtype)
         dpos = (off - fx) * dx
-        val3 = wi[:, None] * (mom + jnp.einsum("pij,pj->pi", affine, dpos))
+        val3 = wi[:, None] * (mom + matvec3(affine, dpos))
         valm = wi * mass
         idx = (
             (base[:, 0] + oi) * (G * G)
@@ -112,7 +113,7 @@ def p2g_dense(base, fx, w, usedf, mass, v, affine, G, dx, chunk=4096):
     stencil matmuls and contract with cell coordinates once."""
     N = base.shape[0]
     x_p = (base.astype(v.dtype) + fx) * dx
-    b = mass[:, None] * v - jnp.einsum("pij,pj->pi", affine, x_p)  # (N, 3)
+    b = mass[:, None] * v - matvec3(affine, x_p)  # (N, 3)
     feats = jnp.concatenate(
         [b, affine.reshape(N, 9), mass[:, None]], axis=-1
     )  # (N, 13)
@@ -151,7 +152,7 @@ def p2g_dense(base, fx, w, usedf, mass, v, affine, G, dx, chunk=4096):
     b_sum = acc[:, :3]
     A_sum = acc[:, 3:12].reshape(-1, 3, 3)
     m_sum = acc[:, 12:]
-    mom = b_sum + jnp.einsum("cij,cj->ci", A_sum, x_cell)
+    mom = b_sum + matvec3(A_sum, x_cell)
     return jnp.concatenate([mom, m_sum], axis=-1)
 
 
