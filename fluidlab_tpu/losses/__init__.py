@@ -10,5 +10,6 @@ from fluidlab_tpu.losses.tasks import (  # noqa: F401
     LatteArtStirLoss,
     MixingLoss,
     PouringLoss,
+    RLTestLoss,
     TransportingLoss,
 )

@@ -7,6 +7,7 @@ curriculum/reward bookkeeping is inherited from :class:`Loss`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -401,3 +402,22 @@ class CirculationLoss(Loss):
         vals = q[d[:, 0], d[:, 1], d[:, 2], 0]
         temp = jnp.sum(jnp.abs(vals - self._targets))
         return {"step_loss": temp * self.temp_weight}
+
+
+class RLTestLoss(Loss):
+    """reference rltest_loss.py:14-58 — distance of the (rigid) effector
+    to a fixed goal point; gradient-stopped in the reference
+    (ti.ad.grad_replaced no-op), used as an RL smoke-test reward."""
+
+    reward_scale = 10.0
+    reward_offset = 0.5
+    step_loss_scale = 1.0
+
+    GOAL = (0.8, 0.5, 0.5)
+
+    def loss_fn(self, state, params, aux_t):
+        pos = state.effectors[0].pos
+        goal = jnp.asarray(self.GOAL, pos.dtype)
+        d = jnp.sqrt(jnp.sum((pos - goal) ** 2) + 1e-12)
+        return {"step_loss": jax.lax.stop_gradient(d)}
+
