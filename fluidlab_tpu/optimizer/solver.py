@@ -59,12 +59,27 @@ class Solver:
             total = jnp.sum(step_losses * loss_mask)
             return total, step_out
 
+        def total_loss_with_final(actions_v, action_p, loss_mask):
+            acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
+            acts = acts.at[:Ha].set(actions_v)
+            final, step_out = rollout(
+                state0, params, acts, action_mask, action_p, aux
+            )
+            step_losses = step_out["step_loss"]
+            total = jnp.sum(step_losses * loss_mask)
+            final_p = (
+                (final.particles.x, final.particles.used)
+                if final.particles is not None
+                else None
+            )
+            return total, (step_out, final_p)
+
         @jax.jit
         def fwd_bwd(actions_v, action_p, loss_mask):
-            (tot, step_out), grads = jax.value_and_grad(
-                total_loss, argnums=(0, 1), has_aux=True
+            (tot, (step_out, final_p)), grads = jax.value_and_grad(
+                total_loss_with_final, argnums=(0, 1), has_aux=True
             )(actions_v, action_p, loss_mask)
-            return tot, step_out, grads
+            return tot, step_out, final_p, grads
 
         return fwd_bwd
 
@@ -82,7 +97,7 @@ class Solver:
 
             t1 = time.time()
             loss_mask = loss.temporal_mask()
-            tot, step_out, (g_v, g_p) = fwd_bwd(
+            tot, step_out, final_p, (g_v, g_p) = fwd_bwd(
                 jnp.asarray(policy.actions_v, jnp.float32),
                 jnp.asarray(policy.actions_p, jnp.float32),
                 loss_mask,
@@ -98,9 +113,16 @@ class Solver:
             loss_info["iteration"] = iteration
             policy.optimize(grad, loss_info)
 
-            # feed host-lagged loss constants (Pouring attraction)
-            if hasattr(loss, "update_attraction_from_state"):
-                pass  # updated by a dedicated forward below when needed
+            # host-lagged loss constants (Pouring attraction: the reference
+            # picks the best particle mid-rollout with numpy,
+            # pouring_loss.py:102-121; we feed it from this iteration's
+            # final state into the next — and rebuild the jitted fn since
+            # the constants are baked in)
+            if hasattr(loss, "update_attraction_from_state") and final_p is not None:
+                loss.update_attraction_from_state(
+                    final_p[0], final_p[1], np.asarray(env_mat(self.env))
+                )
+                fwd_bwd = self._build_fwd_bwd(policy)
 
             print(
                 f"=======> iter {iteration}: loss {loss_info['loss']:.4f} "
@@ -110,6 +132,10 @@ class Solver:
                 loss_info["lr"] = policy.optim.lr
                 self.logger.log(iteration, loss_info)
         return policy
+
+
+def env_mat(env):
+    return env.sim.params.p_mat
 
 
 def _get(cfg, key, default=None):

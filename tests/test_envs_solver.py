@@ -92,7 +92,7 @@ class TestRecordAndSolve:
         losses = []
         for it in range(3):
             mask = env.sim.loss.temporal_mask()
-            tot, step_out, (g_v, g_p) = fwd_bwd(
+            tot, step_out, final_p, (g_v, g_p) = fwd_bwd(
                 jnp.asarray(policy.actions_v, jnp.float32),
                 jnp.asarray(policy.actions_p, jnp.float32),
                 mask,
