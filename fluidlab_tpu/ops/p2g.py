@@ -164,4 +164,17 @@ P2G_IMPLS = {
 
 
 def get_p2g(name: str):
+    if name == "pallas":
+        import jax as _jax
+
+        from fluidlab_tpu.ops.p2g_pallas import p2g_pallas
+
+        def _pallas_auto(*args, **kw):
+            # Mosaic kernels need a TPU; fall back to interpret elsewhere
+            interpret = _jax.default_backend() != "tpu" and not str(
+                _jax.devices()[0]
+            ).startswith("TPU")
+            return p2g_pallas(*args, interpret=interpret, **kw)
+
+        return _pallas_auto
     return P2G_IMPLS[name]

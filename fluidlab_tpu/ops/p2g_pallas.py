@@ -1,0 +1,305 @@
+"""Pallas block-binned P2G — the speed-of-light particle-grid transfer.
+
+XLA lowers duplicate-index scatter on TPU to a global bitonic sort of all
+27N stencil updates (~8.6 GB of sort traffic per substep at 65k
+particles — measured via cost_analysis, see CLAUDE.md).  This kernel
+replaces it with the classic binned formulation:
+
+1. (XLA) bin particles by 8^3-cell block: one argsort of N keys per
+   substep (150x less sort traffic than 27N key+payload),
+2. (Pallas) per block: DMA the block's particle slab from HBM, build the
+   dense local stencil weights on the VPU, and accumulate
+   ``W_block^T @ feats`` on the MXU into a VMEM-resident (10,10,10)
+   halo region — contraction dim = the 128-particle chunk, a perfect MXU
+   shape,
+3. (XLA) overlap-add the 512 halo regions into the global grid with 8
+   static slice-adds (no scatter).
+
+The transfer value is affine in the target cell position
+(val = w*(b + A x_cell), see ops/p2g.py ``dense``), so the kernel
+accumulates the 13 per-particle coefficients [b | A | m] and the cell
+contraction happens once at the end.
+
+The op is linear in its feature inputs given the (non-differentiable)
+cell assignment, so the custom VJP is a 27-point gather of the grid
+cotangent — pure fast XLA, no scatter in either direction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluidlab_tpu.core.bspline import STENCIL
+from fluidlab_tpu.core.mat3 import matvec3
+
+BLOCK = 8        # cells per block edge
+HALO = 2         # quadratic B-spline writes base..base+2
+REGION = BLOCK + HALO  # 10
+R2 = REGION * REGION   # 100
+CHUNK = 128      # particles per MXU pass
+CPAD = 16        # feature channels padded (13 -> 16)
+
+
+# ------------------------------------------------------------------ kernel
+
+def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
+                      feats_ref, out_ref, acc_ref, wslab, lslab, fslab, sem):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    n = end - start
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def chunk_body(c, _):
+        idx = start + c * CHUNK
+
+        cp_w = pltpu.make_async_copy(
+            wx_ref.at[pl.ds(idx, CHUNK)], wslab.at[0], sem.at[0]
+        )
+        cp_w.start()
+        cp_w2 = pltpu.make_async_copy(
+            wy_ref.at[pl.ds(idx, CHUNK)], wslab.at[1], sem.at[1]
+        )
+        cp_w2.start()
+        cp_w3 = pltpu.make_async_copy(
+            wz_ref.at[pl.ds(idx, CHUNK)], wslab.at[2], sem.at[2]
+        )
+        cp_w3.start()
+        cp_l = pltpu.make_async_copy(
+            lbase_ref.at[pl.ds(idx, CHUNK)], lslab, sem.at[3]
+        )
+        cp_l.start()
+        cp_f = pltpu.make_async_copy(
+            feats_ref.at[pl.ds(idx, CHUNK)], fslab, sem.at[4]
+        )
+        cp_f.start()
+        cp_w.wait()
+        cp_w2.wait()
+        cp_w3.wait()
+        cp_l.wait()
+        cp_f.wait()
+
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + c * CHUNK
+            < n
+        )
+
+        # dense local one-hot weights (CHUNK, REGION) per axis:
+        # W[p, r] = w[p, r - lbase] for r - lbase in {0, 1, 2}
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, REGION), 1)
+        wvals = wslab[...]  # (3, CHUNK, 3)
+        lvals = lslab[...]  # (CHUNK, 3)
+        fvals = fslab[...]  # (CHUNK, CPAD)
+
+        def axis_w(w_axis, lb):
+            off = r_ids - lb
+            out = jnp.zeros((CHUNK, REGION), jnp.float32)
+            for o in range(3):
+                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+            return out
+
+        Wx = axis_w(wvals[0], lvals[:, 0:1]) * valid.astype(jnp.float32)
+        Wy = axis_w(wvals[1], lvals[:, 1:2])
+        Wz = axis_w(wvals[2], lvals[:, 2:3])
+
+        # T[(a b), p] = Wx[p,a] Wy[p,b]
+        T = (Wx[:, :, None] * Wy[:, None, :]).reshape(CHUNK, R2)
+        # W2[p, (c f)] = Wz[p,c] feats[p,f]
+        W2 = (Wz[:, :, None] * fvals[:, None, :]).reshape(
+            CHUNK, REGION * CPAD
+        )
+        acc_ref[...] += jax.lax.dot_general(
+            T, W2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    n_chunks = (n + CHUNK - 1) // CHUNK
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    out_ref[0, :, :] = acc_ref[...]
+
+
+def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
+    """pallas_call wrapper: (sorted per-particle data) -> per-block halo
+    regions (NB^3, R2, REGION*CPAD)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb * nb * nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R2, REGION * CPAD), lambda b, *_: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R2, REGION * CPAD), jnp.float32),
+            pltpu.VMEM((3, CHUNK, 3), jnp.float32),
+            pltpu.VMEM((CHUNK, 3), jnp.int32),
+            pltpu.VMEM((CHUNK, CPAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    return pl.pallas_call(
+        _p2g_block_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (nb * nb * nb, R2, REGION * CPAD), jnp.float32
+        ),
+        grid_spec=grid_spec,
+    )(starts, wx, wy, wz, lbase, feats)
+
+
+# ------------------------------------------------------- overlap-add (XLA)
+
+def _overlap_add(blocks, nb: int, G: int):
+    """(NB^3, R2, REGION*CPAD) halo regions -> (G^3, CPAD) grid via 8
+    static slice-adds."""
+    r = blocks.reshape(nb, nb, nb, REGION, REGION, REGION, CPAD)
+    # halo parts are zero-padded to BLOCK extent before the flatten, so
+    # the target must leave room for a full extra block per axis
+    big = jnp.zeros((G + BLOCK, G + BLOCK, G + BLOCK, CPAD), jnp.float32)
+    for qa in (0, 1):
+        for qb in (0, 1):
+            for qc in (0, 1):
+                sa = slice(0, BLOCK) if qa == 0 else slice(BLOCK, REGION)
+                sb = slice(0, BLOCK) if qb == 0 else slice(BLOCK, REGION)
+                sc = slice(0, BLOCK) if qc == 0 else slice(BLOCK, REGION)
+                part = r[:, :, :, sa, sb, sc, :]
+                ea = BLOCK if qa == 0 else HALO
+                eb = BLOCK if qb == 0 else HALO
+                ec = BLOCK if qc == 0 else HALO
+                # pad the per-block extent up to BLOCK so flattening aligns
+                part = jnp.pad(
+                    part,
+                    ((0, 0), (0, 0), (0, 0), (0, BLOCK - ea),
+                     (0, BLOCK - eb), (0, BLOCK - ec), (0, 0)),
+                )
+                flat = part.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+                    nb * BLOCK, nb * BLOCK, nb * BLOCK, CPAD
+                )
+                oa, ob, oc = qa * BLOCK, qb * BLOCK, qc * BLOCK
+                big = big.at[
+                    oa: oa + nb * BLOCK,
+                    ob: ob + nb * BLOCK,
+                    oc: oc + nb * BLOCK,
+                ].add(flat)
+    return big[:G, :G, :G].reshape(G * G * G, CPAD)
+
+
+# ----------------------------------------------------------- the public op
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _p2g_core(w, lbase_global, feats, G: int, interpret: bool):
+    """grid13 = sum_p W_p(cell) * feats[p]; W from axis weights w and
+    integer base cells.  Linear in feats; weights differentiable."""
+    return _p2g_core_fwd(w, lbase_global, feats, G, interpret)[0]
+
+
+def _p2g_core_impl(w, lbase_global, feats, G, interpret):
+    N = w.shape[0]
+    nb = G // BLOCK
+    block = lbase_global // BLOCK  # (N, 3)
+    block_id = (block[:, 0] * nb + block[:, 1]) * nb + block[:, 2]
+    order = jnp.argsort(block_id)
+    sorted_bid = block_id[order]
+    starts = jnp.searchsorted(
+        sorted_bid, jnp.arange(nb * nb * nb + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    wx = w[order, :, 0]
+    wy = w[order, :, 1]
+    wz = w[order, :, 2]
+    lb = (lbase_global - block * BLOCK)[order].astype(jnp.int32)
+    f13 = feats[order]
+    fpad = jnp.zeros((N, CPAD), jnp.float32).at[:, :13].set(f13)
+
+    # pad particle arrays so DMA slabs never run off the end
+    pad = CHUNK
+    wx = jnp.concatenate([wx, jnp.zeros((pad, 3), jnp.float32)])
+    wy = jnp.concatenate([wy, jnp.zeros((pad, 3), jnp.float32)])
+    wz = jnp.concatenate([wz, jnp.zeros((pad, 3), jnp.float32)])
+    lb = jnp.concatenate([lb, jnp.zeros((pad, 3), jnp.int32)])
+    fpad = jnp.concatenate([fpad, jnp.zeros((pad, CPAD), jnp.float32)])
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            blocks = _accumulate_blocks(wx, wy, wz, lb, fpad, starts, nb)
+    else:
+        blocks = _accumulate_blocks(wx, wy, wz, lb, fpad, starts, nb)
+    return _overlap_add(blocks, nb, G)[:, :13]
+
+
+def _p2g_core_fwd(w, lbase_global, feats, G, interpret):
+    out = _p2g_core_impl(w, lbase_global, feats, G, interpret)
+    return out, (w, lbase_global, feats)
+
+
+def _p2g_core_bwd(G, interpret, res, gbar):
+    """Transpose: 27-point gathers of the grid cotangent (fast XLA)."""
+    w, lbase, feats = res
+    N = w.shape[0]
+    gb = gbar  # (G^3, 13)
+    d_w = jnp.zeros_like(w)
+    d_feats = jnp.zeros_like(feats)
+    e = []  # per-offset scalar contraction  sum_f gbar[cell] feats[f]
+    gcell = []
+    for (oi, oj, ok) in [tuple(int(v) for v in o) for o in STENCIL]:
+        idx = (
+            (lbase[:, 0] + oi) * (G * G)
+            + (lbase[:, 1] + oj) * G
+            + (lbase[:, 2] + ok)
+        )
+        gc = gb[idx]  # (N, 13)
+        gcell.append((oi, oj, ok, gc))
+        e.append(jnp.sum(gc * feats, axis=-1))
+
+    # d_feats = sum_o wprod_o * gbar[cell_o]
+    # d_w[:, o, axis] via product rule
+    for k, (oi, oj, ok, gc) in enumerate(gcell):
+        wprod = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2]
+        d_feats = d_feats + wprod[:, None] * gc
+        d_w = d_w.at[:, oi, 0].add(w[:, oj, 1] * w[:, ok, 2] * e[k])
+        d_w = d_w.at[:, oj, 1].add(w[:, oi, 0] * w[:, ok, 2] * e[k])
+        d_w = d_w.at[:, ok, 2].add(w[:, oi, 0] * w[:, oj, 1] * e[k])
+    return d_w, None, d_feats
+
+
+_p2g_core.defvjp(_p2g_core_fwd, _p2g_core_bwd)
+
+
+def p2g_pallas(base, fx, w, usedf, mass, v, affine, G, dx, interpret=False):
+    """Drop-in P2G (ops/p2g.py interface) via the block-binned kernel."""
+    N = base.shape[0]
+    x_p = (base.astype(v.dtype) + fx) * dx
+    b = mass[:, None] * v - matvec3(affine, x_p)
+    feats = jnp.concatenate(
+        [b, affine.reshape(N, 9), mass[:, None]], axis=-1
+    ) * usedf[:, None]
+
+    grid13 = _p2g_core(w, base, feats, G, interpret)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
+    x_cell = (
+        jnp.stack([ii, jj, kk], -1).reshape(G * G * G, 3).astype(v.dtype) * dx
+    )
+    mom = grid13[:, :3] + matvec3(grid13[:, 3:12].reshape(-1, 3, 3), x_cell)
+    return jnp.concatenate([mom, grid13[:, 12:13]], axis=-1)
+
+
+def p2g_pallas_interpret(base, fx, w, usedf, mass, v, affine, G, dx):
+    return p2g_pallas(base, fx, w, usedf, mass, v, affine, G, dx,
+                      interpret=True)

@@ -71,3 +71,34 @@ def test_gradients_match(inputs):
     )
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_matches_scatter(inputs):
+    from fluidlab_tpu.ops.p2g_pallas import p2g_pallas
+
+    a = p2g_scatter(*inputs)
+    b = p2g_pallas(*inputs, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_gradients_match(inputs):
+    from fluidlab_tpu.ops.p2g_pallas import p2g_pallas
+
+    base, fx, w, usedf, mass, v, affine, G, dx = inputs
+
+    def loss(fn, v_, a_):
+        g = fn(base, fx, w, usedf, mass, v_, a_, G, dx)
+        ch = jnp.arange(4.0) + 0.5
+        return jnp.sum(g * ch)
+
+    g1 = jax.grad(lambda v_, a_: loss(p2g_scatter, v_, a_), argnums=(0, 1))(
+        v, affine
+    )
+    g2 = jax.grad(
+        lambda v_, a_: loss(
+            lambda *args: p2g_pallas(*args, interpret=True), v_, a_
+        ),
+        argnums=(0, 1),
+    )(v, affine)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
