@@ -9,11 +9,12 @@ replaces it with the classic binned formulation:
    substep (150x less sort traffic than 27N key+payload),
 2. (Pallas) per block: DMA the block's particle slab from HBM, build the
    dense local stencil weights on the VPU, and accumulate
-   ``W_block^T @ feats`` on the MXU into a VMEM-resident (10,10,10)
-   halo region — contraction dim = the 128-particle chunk, a perfect MXU
-   shape,
-3. (XLA) overlap-add the 512 halo regions into the global grid with 8
-   static slice-adds (no scatter).
+   ``W_block^T @ feats`` on the MXU into a VMEM-resident 10^3 halo
+   region — contraction dim = the 128-particle chunk, a perfect MXU
+   shape.  All tensors are built at fixed lane-padded shapes via constant
+   index maps (no minor-dim reshapes, which Mosaic restricts),
+3. (XLA) overlap-add the halo regions into the global grid with 8 static
+   slice-adds (no scatter).
 
 The transfer value is affine in the target cell position
 (val = w*(b + A x_cell), see ops/p2g.py ``dense``), so the kernel
@@ -28,7 +29,6 @@ cotangent — pure fast XLA, no scatter in either direction.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +43,11 @@ BLOCK = 8        # cells per block edge
 HALO = 2         # quadratic B-spline writes base..base+2
 REGION = BLOCK + HALO  # 10
 R2 = REGION * REGION   # 100
+R2PAD = 128      # R2 padded to the lane width
 CHUNK = 128      # particles per MXU pass
 CPAD = 16        # feature channels padded (13 -> 16)
+WCOLS = REGION * CPAD  # 160
 
-
-# ------------------------------------------------------------------ kernel
 
 def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
                       feats_ref, out_ref, acc_ref, wslab, lslab, fslab, sem):
@@ -58,68 +58,78 @@ def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # constant index maps, built in-kernel from iota (pallas kernels may
+    # not capture host constants)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R2PAD), 1)
+    a_col = jnp.minimum(col // REGION, REGION - 1)
+    b_col = col % REGION
+    col_valid = (col < R2).astype(jnp.float32)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, WCOLS), 1)
+    c_wcol = wcol // CPAD
+    # P[f, wcol] = (wcol % CPAD == f): tiles feats over the z-cells
+    p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, WCOLS), 0)
+    p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, WCOLS), 1)
+    p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
+
     def chunk_body(c, _):
         idx = start + c * CHUNK
 
-        cp_w = pltpu.make_async_copy(
-            wx_ref.at[pl.ds(idx, CHUNK)], wslab.at[0], sem.at[0]
-        )
-        cp_w.start()
-        cp_w2 = pltpu.make_async_copy(
-            wy_ref.at[pl.ds(idx, CHUNK)], wslab.at[1], sem.at[1]
-        )
-        cp_w2.start()
-        cp_w3 = pltpu.make_async_copy(
-            wz_ref.at[pl.ds(idx, CHUNK)], wslab.at[2], sem.at[2]
-        )
-        cp_w3.start()
-        cp_l = pltpu.make_async_copy(
-            lbase_ref.at[pl.ds(idx, CHUNK)], lslab, sem.at[3]
-        )
-        cp_l.start()
-        cp_f = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(idx, CHUNK)], fslab, sem.at[4]
-        )
-        cp_f.start()
-        cp_w.wait()
-        cp_w2.wait()
-        cp_w3.wait()
-        cp_l.wait()
-        cp_f.wait()
+        copies = [
+            pltpu.make_async_copy(
+                wx_ref.at[pl.ds(idx, CHUNK)], wslab.at[0], sem.at[0]
+            ),
+            pltpu.make_async_copy(
+                wy_ref.at[pl.ds(idx, CHUNK)], wslab.at[1], sem.at[1]
+            ),
+            pltpu.make_async_copy(
+                wz_ref.at[pl.ds(idx, CHUNK)], wslab.at[2], sem.at[2]
+            ),
+            pltpu.make_async_copy(
+                lbase_ref.at[pl.ds(idx, CHUNK)], lslab, sem.at[3]
+            ),
+            pltpu.make_async_copy(
+                feats_ref.at[pl.ds(idx, CHUNK)], fslab, sem.at[4]
+            ),
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
 
         valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + c * CHUNK
-            < n
-        )
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + c * CHUNK < n
+        ).astype(jnp.float32)
 
-        # dense local one-hot weights (CHUNK, REGION) per axis:
-        # W[p, r] = w[p, r - lbase] for r - lbase in {0, 1, 2}
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, REGION), 1)
         wvals = wslab[...]  # (3, CHUNK, 3)
         lvals = lslab[...]  # (CHUNK, 3)
         fvals = fslab[...]  # (CHUNK, CPAD)
 
-        def axis_w(w_axis, lb):
-            off = r_ids - lb
-            out = jnp.zeros((CHUNK, REGION), jnp.float32)
+        def onehot_w(w_axis, lb, cell_ids):
+            # W[p, col] = w_axis[p, cell_ids[col] - lb[p]] for offsets 0..2
+            off = cell_ids - lb
+            out = jnp.zeros(cell_ids.shape, jnp.float32)
             for o in range(3):
                 out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
             return out
 
-        Wx = axis_w(wvals[0], lvals[:, 0:1]) * valid.astype(jnp.float32)
-        Wy = axis_w(wvals[1], lvals[:, 1:2])
-        Wz = axis_w(wvals[2], lvals[:, 2:3])
-
-        # T[(a b), p] = Wx[p,a] Wy[p,b]
-        T = (Wx[:, :, None] * Wy[:, None, :]).reshape(CHUNK, R2)
-        # W2[p, (c f)] = Wz[p,c] feats[p,f]
-        W2 = (Wz[:, :, None] * fvals[:, None, :]).reshape(
-            CHUNK, REGION * CPAD
+        # T[p, col] = Wx(a(col)) * Wy(b(col)), zero outside R2 / past n
+        T = (
+            onehot_w(wvals[0], lvals[:, 0:1], a_col)
+            * onehot_w(wvals[1], lvals[:, 1:2], b_col)
+            * col_valid
+            * valid
         )
+        # W2[p, wcol] = Wz(c(wcol)) * feats[p, f(wcol)]
+        feats_tiled = jax.lax.dot_general(
+            fvals, p_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, WCOLS)
+        W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
+
         acc_ref[...] += jax.lax.dot_general(
             T, W2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (R2PAD, WCOLS)
         return 0
 
     n_chunks = (n + CHUNK - 1) // CHUNK
@@ -128,8 +138,8 @@ def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
 
 
 def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
-    """pallas_call wrapper: (sorted per-particle data) -> per-block halo
-    regions (NB^3, R2, REGION*CPAD)."""
+    """pallas_call wrapper: sorted per-particle data -> per-block halo
+    accumulators (NB^3, R2PAD, WCOLS)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb * nb * nb,),
@@ -141,11 +151,11 @@ def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, R2, REGION * CPAD), lambda b, *_: (b, 0, 0),
+            (1, R2PAD, WCOLS), lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((R2, REGION * CPAD), jnp.float32),
+            pltpu.VMEM((R2PAD, WCOLS), jnp.float32),
             pltpu.VMEM((3, CHUNK, 3), jnp.float32),
             pltpu.VMEM((CHUNK, 3), jnp.int32),
             pltpu.VMEM((CHUNK, CPAD), jnp.float32),
@@ -155,7 +165,7 @@ def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
     return pl.pallas_call(
         _p2g_block_kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (nb * nb * nb, R2, REGION * CPAD), jnp.float32
+            (nb * nb * nb, R2PAD, WCOLS), jnp.float32
         ),
         grid_spec=grid_spec,
     )(starts, wx, wy, wz, lbase, feats)
@@ -164,9 +174,11 @@ def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
 # ------------------------------------------------------- overlap-add (XLA)
 
 def _overlap_add(blocks, nb: int, G: int):
-    """(NB^3, R2, REGION*CPAD) halo regions -> (G^3, CPAD) grid via 8
+    """(NB^3, R2PAD, WCOLS) halo accumulators -> (G^3, CPAD) grid via 8
     static slice-adds."""
-    r = blocks.reshape(nb, nb, nb, REGION, REGION, REGION, CPAD)
+    r = blocks[:, :R2, :].reshape(
+        nb, nb, nb, REGION, REGION, REGION, CPAD
+    )
     # halo parts are zero-padded to BLOCK extent before the flatten, so
     # the target must leave room for a full extra block per axis
     big = jnp.zeros((G + BLOCK, G + BLOCK, G + BLOCK, CPAD), jnp.float32)
@@ -180,7 +192,6 @@ def _overlap_add(blocks, nb: int, G: int):
                 ea = BLOCK if qa == 0 else HALO
                 eb = BLOCK if qb == 0 else HALO
                 ec = BLOCK if qc == 0 else HALO
-                # pad the per-block extent up to BLOCK so flattening aligns
                 part = jnp.pad(
                     part,
                     ((0, 0), (0, 0), (0, 0), (0, BLOCK - ea),
@@ -249,11 +260,10 @@ def _p2g_core_fwd(w, lbase_global, feats, G, interpret):
 def _p2g_core_bwd(G, interpret, res, gbar):
     """Transpose: 27-point gathers of the grid cotangent (fast XLA)."""
     w, lbase, feats = res
-    N = w.shape[0]
     gb = gbar  # (G^3, 13)
     d_w = jnp.zeros_like(w)
     d_feats = jnp.zeros_like(feats)
-    e = []  # per-offset scalar contraction  sum_f gbar[cell] feats[f]
+    e = []
     gcell = []
     for (oi, oj, ok) in [tuple(int(v) for v in o) for o in STENCIL]:
         idx = (
@@ -265,8 +275,6 @@ def _p2g_core_bwd(G, interpret, res, gbar):
         gcell.append((oi, oj, ok, gc))
         e.append(jnp.sum(gc * feats, axis=-1))
 
-    # d_feats = sum_o wprod_o * gbar[cell_o]
-    # d_w[:, o, axis] via product rule
     for k, (oi, oj, ok, gc) in enumerate(gcell):
         wprod = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2]
         d_feats = d_feats + wprod[:, None] * gc
