@@ -49,8 +49,10 @@ CPAD = 16        # feature channels padded (13 -> 16)
 WCOLS = REGION * CPAD  # 160
 
 
-def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
-                      feats_ref, out_ref, acc_ref, wslab, lslab, fslab, sem):
+PACK = 128  # packed per-particle row: [wx(3) wy(3) wz(3) lbase(3) feats(13)]
+
+
+def _p2g_block_kernel(starts_ref, packed_ref, out_ref, acc_ref, slab, sem):
     b = pl.program_id(0)
     start = starts_ref[b]
     end = starts_ref[b + 1]
@@ -74,35 +76,20 @@ def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
     def chunk_body(c, _):
         idx = start + c * CHUNK
 
-        copies = [
-            pltpu.make_async_copy(
-                wx_ref.at[pl.ds(idx, CHUNK)], wslab.at[0], sem.at[0]
-            ),
-            pltpu.make_async_copy(
-                wy_ref.at[pl.ds(idx, CHUNK)], wslab.at[1], sem.at[1]
-            ),
-            pltpu.make_async_copy(
-                wz_ref.at[pl.ds(idx, CHUNK)], wslab.at[2], sem.at[2]
-            ),
-            pltpu.make_async_copy(
-                lbase_ref.at[pl.ds(idx, CHUNK)], lslab, sem.at[3]
-            ),
-            pltpu.make_async_copy(
-                feats_ref.at[pl.ds(idx, CHUNK)], fslab, sem.at[4]
-            ),
-        ]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        cp = pltpu.make_async_copy(
+            packed_ref.at[pl.ds(idx, CHUNK)], slab, sem
+        )
+        cp.start()
+        cp.wait()
 
         valid = (
             jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + c * CHUNK < n
         ).astype(jnp.float32)
 
-        wvals = wslab[...]  # (3, CHUNK, 3)
-        lvals = lslab[...]  # (CHUNK, 3)
-        fvals = fslab[...]  # (CHUNK, CPAD)
+        pk = slab[...]  # (CHUNK, PACK)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        lvals = pk[:, 9:12].astype(jnp.int32)
+        fvals = pk[:, 12:12 + CPAD]
 
         def onehot_w(w_axis, lb, cell_ids):
             # W[p, col] = w_axis[p, cell_ids[col] - lb[p]] for offsets 0..2
@@ -137,17 +124,13 @@ def _p2g_block_kernel(starts_ref, wx_ref, wy_ref, wz_ref, lbase_ref,
     out_ref[0, :, :] = acc_ref[...]
 
 
-def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
-    """pallas_call wrapper: sorted per-particle data -> per-block halo
-    accumulators (NB^3, R2PAD, WCOLS)."""
+def _accumulate_blocks(packed, starts, nb: int):
+    """pallas_call wrapper: packed sorted per-particle rows -> per-block
+    halo accumulators (NB^3, R2PAD, WCOLS)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb * nb * nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -156,10 +139,8 @@ def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((R2PAD, WCOLS), jnp.float32),
-            pltpu.VMEM((3, CHUNK, 3), jnp.float32),
-            pltpu.VMEM((CHUNK, 3), jnp.int32),
-            pltpu.VMEM((CHUNK, CPAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((CHUNK, PACK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
@@ -168,7 +149,7 @@ def _accumulate_blocks(wx, wy, wz, lbase, feats, starts, nb: int):
             (nb * nb * nb, R2PAD, WCOLS), jnp.float32
         ),
         grid_spec=grid_spec,
-    )(starts, wx, wy, wz, lbase, feats)
+    )(starts, packed)
 
 
 # ------------------------------------------------------- overlap-add (XLA)
@@ -229,26 +210,19 @@ def _p2g_core_impl(w, lbase_global, feats, G, interpret):
         sorted_bid, jnp.arange(nb * nb * nb + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    wx = w[order, :, 0]
-    wy = w[order, :, 1]
-    wz = w[order, :, 2]
-    lb = (lbase_global - block * BLOCK)[order].astype(jnp.int32)
-    f13 = feats[order]
-    fpad = jnp.zeros((N, CPAD), jnp.float32).at[:, :13].set(f13)
-
-    # pad particle arrays so DMA slabs never run off the end
-    pad = CHUNK
-    wx = jnp.concatenate([wx, jnp.zeros((pad, 3), jnp.float32)])
-    wy = jnp.concatenate([wy, jnp.zeros((pad, 3), jnp.float32)])
-    wz = jnp.concatenate([wz, jnp.zeros((pad, 3), jnp.float32)])
-    lb = jnp.concatenate([lb, jnp.zeros((pad, 3), jnp.int32)])
-    fpad = jnp.concatenate([fpad, jnp.zeros((pad, CPAD), jnp.float32)])
+    lb = (lbase_global - block * BLOCK)[order].astype(jnp.float32)
+    packed = jnp.zeros((N + CHUNK, PACK), jnp.float32)
+    packed = packed.at[:N, 0:3].set(w[order, :, 0])
+    packed = packed.at[:N, 3:6].set(w[order, :, 1])
+    packed = packed.at[:N, 6:9].set(w[order, :, 2])
+    packed = packed.at[:N, 9:12].set(lb)
+    packed = packed.at[:N, 12:25].set(feats[order])
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            blocks = _accumulate_blocks(wx, wy, wz, lb, fpad, starts, nb)
+            blocks = _accumulate_blocks(packed, starts, nb)
     else:
-        blocks = _accumulate_blocks(wx, wy, wz, lb, fpad, starts, nb)
+        blocks = _accumulate_blocks(packed, starts, nb)
     return _overlap_add(blocks, nb, G)[:, :13]
 
 
