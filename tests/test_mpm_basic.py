@@ -130,3 +130,23 @@ class TestGradients:
         g_plain = float(jax.jit(jax.grad(make_loss(None)))(jnp.float32(0.01)))
         g_win = float(jax.jit(jax.grad(make_loss(4)))(jnp.float32(0.01)))
         np.testing.assert_allclose(g_plain, g_win, rtol=1e-4, atol=1e-7)
+
+
+class TestStateCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from fluidlab_tpu.utils.checkpoint import load_state, save_state
+
+        cfg, params, state = build_liquid_scene(n=64, horizon=5)
+        rollout = jax.jit(make_rollout(cfg))
+        mid, _ = rollout(state, params, jnp.zeros((3, 1), jnp.float32))
+
+        path = str(tmp_path / "state.npz")
+        save_state(path, mid)
+        restored = load_state(path, mid)
+
+        # identical continuation from the restored state
+        f1, _ = rollout(mid, params, jnp.zeros((2, 1), jnp.float32))
+        f2, _ = rollout(restored, params, jnp.zeros((2, 1), jnp.float32))
+        np.testing.assert_array_equal(
+            np.asarray(f1.particles.x), np.asarray(f2.particles.x)
+        )
