@@ -46,6 +46,20 @@ def main():
             out, _ = jax.lax.scan(body, s, None, length=inner)
             return out
 
+        if os.environ.get("BENCH_COST"):
+            try:
+                ca = jax.jit(chain).lower(state).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                big = {
+                    k: round(v / 1e9, 3)
+                    for k, v in ca.items()
+                    if isinstance(v, float) and v > 1e8
+                }
+                print(f"cost[{impl}] (GB/Gflop):", big, flush=True)
+            except Exception as e:
+                print("cost_analysis failed:", e, flush=True)
+
         s1 = chain(state)
         jax.block_until_ready(s1)
         t0 = time.perf_counter()
