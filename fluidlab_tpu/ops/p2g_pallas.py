@@ -39,14 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 from fluidlab_tpu.core.bspline import STENCIL
 from fluidlab_tpu.core.mat3 import matvec3
 
-BLOCK = 8        # cells per block edge
+BLOCK = 16       # cells per block edge (64 blocks at G=64: amortizes
+                 # per-program overhead; MXU waste still modest)
 HALO = 2         # quadratic B-spline writes base..base+2
-REGION = BLOCK + HALO  # 10
-R2 = REGION * REGION   # 100
-R2PAD = 128      # R2 padded to the lane width
+REGION = BLOCK + HALO  # 18
+R2 = REGION * REGION   # 324
+R2PAD = 384      # R2 padded to a lane multiple
 CHUNK = 128      # particles per MXU pass
 CPAD = 16        # feature channels padded (13 -> 16)
-WCOLS = REGION * CPAD  # 160
+WCOLS = REGION * CPAD  # 288
 
 
 PACK = 128  # packed per-particle row: [wx(3) wy(3) wz(3) lbase(3) feats(13)]
@@ -73,20 +74,31 @@ def _p2g_block_kernel(starts_ref, packed_ref, out_ref, acc_ref, slab, sem):
     p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, WCOLS), 1)
     p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
 
-    def chunk_body(c, _):
-        idx = start + c * CHUNK
+    n_chunks = (n + CHUNK - 1) // CHUNK
 
-        cp = pltpu.make_async_copy(
-            packed_ref.at[pl.ds(idx, CHUNK)], slab, sem
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[pl.ds(start + c * CHUNK, CHUNK)],
+            slab.at[slot], sem.at[slot],
         )
-        cp.start()
-        cp.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+        dma(c, slot).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, 1 - slot).start()
 
         valid = (
             jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + c * CHUNK < n
         ).astype(jnp.float32)
 
-        pk = slab[...]  # (CHUNK, PACK)
+        pk = slab[slot]  # (CHUNK, PACK)
         wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
         lvals = pk[:, 9:12].astype(jnp.int32)
         fvals = pk[:, 12:12 + CPAD]
@@ -119,7 +131,6 @@ def _p2g_block_kernel(starts_ref, packed_ref, out_ref, acc_ref, slab, sem):
         )  # (R2PAD, WCOLS)
         return 0
 
-    n_chunks = (n + CHUNK - 1) // CHUNK
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
     out_ref[0, :, :] = acc_ref[...]
 
@@ -139,8 +150,8 @@ def _accumulate_blocks(packed, starts, nb: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((R2PAD, WCOLS), jnp.float32),
-            pltpu.VMEM((CHUNK, PACK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, CHUNK, PACK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -211,7 +222,8 @@ def _p2g_core_impl(w, lbase_global, feats, G, interpret):
     ).astype(jnp.int32)
 
     lb = (lbase_global - block * BLOCK)[order].astype(jnp.float32)
-    packed = jnp.zeros((N + CHUNK, PACK), jnp.float32)
+    # double-buffered DMA prefetches one chunk ahead: pad 2 chunks
+    packed = jnp.zeros((N + 2 * CHUNK, PACK), jnp.float32)
     packed = packed.at[:N, 0:3].set(w[order, :, 0])
     packed = packed.at[:N, 3:6].set(w[order, :, 1])
     packed = packed.at[:N, 6:9].set(w[order, :, 2])
