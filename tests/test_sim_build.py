@@ -204,3 +204,27 @@ class TestCollector:
         x = np.asarray(sim.state.particles.x)
         gone = ~np.asarray(sim.state.particles.used)
         assert np.allclose(x[gone], -100.0)
+
+
+class TestReproducibility:
+    def test_same_seed_same_rollout(self):
+        """Scene construction pins seed 0 (reference bodies.py:27-29) and
+        the engine is deterministic: two identical builds produce
+        bit-identical trajectories (multi-host determinism prerequisite,
+        SURVEY.md §2.13.5)."""
+        import jax.numpy as jnp
+
+        def build_and_run():
+            sim = FluidSim(particle_density=2e4, horizon=4)
+            sim.add_body(
+                type="cube", lower=(0.3, 0.2, 0.3), upper=(0.6, 0.5, 0.6),
+                material=M.WATER,
+            )
+            sim.build()
+            for _ in range(3):
+                sim.step(None)
+            return np.asarray(sim.state.particles.x)
+
+        x1 = build_and_run()
+        x2 = build_and_run()
+        np.testing.assert_array_equal(x1, x2)
