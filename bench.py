@@ -40,11 +40,11 @@ def main():
     cfg, params, state = liquid_block_scene(
         n_particles=n_particles, horizon=10
     )
-    p2g = os.environ.get("BENCH_P2G")
-    if p2g:
-        import dataclasses
+    on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
+    p2g = os.environ.get("BENCH_P2G") or ("pallas" if on_tpu else "scatter")
+    import dataclasses
 
-        cfg = dataclasses.replace(cfg, p2g_impl=p2g)
+    cfg = dataclasses.replace(cfg, p2g_impl=p2g)
     step = make_step(cfg)
     action = jnp.zeros((1,), jnp.float32)
     has_action = jnp.asarray(False)
