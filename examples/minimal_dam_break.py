@@ -30,8 +30,8 @@ print(f"{sim.cfg.n_particles} particles")
 # interactive stepping (gym-style)
 for i in range(20):
     sim.step(None)
-x = np.asarray(sim.state.particles.x)
-print(f"t=40ms  com={x.mean(0).round(3)}")
+x = np.asarray(sim.state.particles.x)  # (3, N)
+print(f"t=40ms  com={x.mean(1).round(3)}")
 
 # differentiable rollout: d(final height)/d(initial v)
 rollout = sim.make_rollout_fn()
@@ -41,10 +41,10 @@ actions = jnp.zeros((60, 1), jnp.float32)
 def final_height(v0):
     st = sim.init_state
     st = st.replace(particles=st.particles.replace(
-        v=jnp.broadcast_to(v0, st.particles.v.shape)
+        v=jnp.broadcast_to(v0[:, None], st.particles.v.shape)
     ))
     final, _ = rollout(st, sim.params, actions)
-    return jnp.mean(final.particles.x[:, 1])
+    return jnp.mean(final.particles.x[1])
 
 
 g = jax.jit(jax.grad(final_height))(jnp.zeros(3))

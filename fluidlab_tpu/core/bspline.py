@@ -38,3 +38,19 @@ def quadratic_weights(fx):
     w1 = 0.75 - (fx - 1.0) ** 2
     w2 = 0.5 * (fx - 0.5) ** 2
     return jnp.stack([w0, w1, w2], axis=-2)
+
+
+def base_and_fx_soa(x, inv_dx):
+    """SoA variant: x (3, N) -> (base (3, N) int32, fx (3, N))."""
+    xs = x * inv_dx
+    base = jnp.floor(xs - 0.5).astype(jnp.int32)
+    fx = xs - base.astype(x.dtype)
+    return base, fx
+
+
+def quadratic_weights_soa(fx):
+    """SoA variant: fx (3, N) -> w (3 offsets, 3 axes, N)."""
+    w0 = 0.5 * (1.5 - fx) ** 2
+    w1 = 0.75 - (fx - 1.0) ** 2
+    w2 = 0.5 * (fx - 0.5) ** 2
+    return jnp.stack([w0, w1, w2])  # (offset, axis, N)

@@ -46,3 +46,88 @@ def diag_matmul3(U, s, Vt_cols):
         * Vt_cols[..., None, :, :],
         axis=-1,
     )
+
+
+# ---------------------------------------------------------------- SoA form
+# TPU tiles the two minor dims to (8, 128); arrays shaped (N, 3) or
+# (N, 3, 3) therefore pad 3 -> 128 lanes (42x traffic bloat).  The engine
+# stores vectors as (3, N) and matrices as (9, N) [row-major i*3+j] so the
+# minor dim is the particle axis.  These helpers implement 3x3 algebra on
+# that layout as pure (N,)-wide VPU arithmetic.
+
+def mm_soa(A, B):
+    """C = A @ B for (9, N) row-major operands."""
+    return jnp.stack([
+        sum(A[3 * i + k] * B[3 * k + j] for k in range(3))
+        for i in range(3) for j in range(3)
+    ])
+
+
+def mm_nt_soa(A, B):
+    """C = A @ B^T."""
+    return jnp.stack([
+        sum(A[3 * i + k] * B[3 * j + k] for k in range(3))
+        for i in range(3) for j in range(3)
+    ])
+
+
+def mm_tn_soa(A, B):
+    """C = A^T @ B."""
+    return jnp.stack([
+        sum(A[3 * k + i] * B[3 * k + j] for k in range(3))
+        for i in range(3) for j in range(3)
+    ])
+
+
+def mv_soa(A, v):
+    """(9, N) @ (3, N) -> (3, N)."""
+    return jnp.stack([
+        sum(A[3 * i + k] * v[k] for k in range(3)) for i in range(3)
+    ])
+
+
+def mtv_soa(A, v):
+    """A^T v."""
+    return jnp.stack([
+        sum(A[3 * k + i] * v[k] for k in range(3)) for i in range(3)
+    ])
+
+
+def outer_soa(u, v):
+    """(3, N) outer (3, N) -> (9, N)."""
+    return jnp.stack([u[i] * v[j] for i in range(3) for j in range(3)])
+
+
+def diag_mm_soa(U, s, V):
+    """U @ diag(s) @ V^T for (9, N), (3, N), (9, N)."""
+    return jnp.stack([
+        sum(s[k] * U[3 * i + k] * V[3 * j + k] for k in range(3))
+        for i in range(3) for j in range(3)
+    ])
+
+
+def det_soa(A):
+    """det of (9, N)."""
+    return (
+        A[0] * (A[4] * A[8] - A[5] * A[7])
+        - A[1] * (A[3] * A[8] - A[5] * A[6])
+        + A[2] * (A[3] * A[7] - A[4] * A[6])
+    )
+
+
+def eye_soa(n, dtype=jnp.float32):
+    """(9, N) identity."""
+    out = jnp.zeros((9, n), dtype)
+    for d in (0, 4, 8):
+        out = out.at[d].set(1.0)
+    return out
+
+
+def aos_to_soa_mat(A):
+    """(N, 3, 3) -> (9, N)."""
+    return A.reshape(A.shape[0], 9).T
+
+
+def soa_to_aos_mat(A9):
+    """(9, N) -> (N, 3, 3)."""
+    return A9.T.reshape(-1, 3, 3)

@@ -144,3 +144,32 @@ def compute_camera_angle_np(camera_pos, camera_lookat):
     angle_x = np.arctan2(-d[0], -d[2])
     angle_y = np.arctan2(d[1], np.linalg.norm([d[0], d[2]]))
     return np.array([angle_x, angle_y, 0.0])
+
+
+def transform_by_quat_soa(v, q):
+    """Rotate SoA vectors v (3, M) by a single quaternion q (4,)."""
+    qv = (q[1], q[2], q[3])
+    uv = (
+        qv[1] * v[2] - qv[2] * v[1],
+        qv[2] * v[0] - qv[0] * v[2],
+        qv[0] * v[1] - qv[1] * v[0],
+    )
+    uuv = (
+        qv[1] * uv[2] - qv[2] * uv[1],
+        qv[2] * uv[0] - qv[0] * uv[2],
+        qv[0] * uv[1] - qv[1] * uv[0],
+    )
+    return jnp.stack([v[i] + 2.0 * (q[0] * uv[i] + uuv[i]) for i in range(3)])
+
+
+def inv_transform_by_trans_quat_soa(pos, trans, q):
+    """local = R(q)^-1 (pos - trans) for SoA pos (3, M)."""
+    qi = inv_quat(q)
+    shifted = jnp.stack([pos[i] - trans[i] for i in range(3)])
+    return transform_by_quat_soa(shifted, qi)
+
+
+def transform_by_trans_quat_soa(pos, trans, q):
+    """world = R(q) pos + trans for SoA pos (3, M)."""
+    rotated = transform_by_quat_soa(pos, q)
+    return jnp.stack([rotated[i] + trans[i] for i in range(3)])

@@ -223,3 +223,146 @@ svd3.defvjp(_svd3_fwd, _svd3_bwd)
 def svd3_nograd(A):
     """SVD without the custom VJP (for host-side / non-differentiated use)."""
     return _svd3_impl(A)
+
+
+# ------------------------------------------------------------------ SoA API
+# Engine-facing layout: matrices as (9, N) row-major, vectors (3, N) — the
+# particle axis is minor so TPU tiles pack fully (see core/mat3.py).
+
+def _cross_soa(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _svd3_soa_impl(A):
+    """A: (9, N) -> (U (9, N), s (3, N), V (9, N))."""
+    a = [[A[3 * i + j] for j in range(3)] for i in range(3)]
+    dtype = A.dtype
+
+    b00 = a[0][0] * a[0][0] + a[1][0] * a[1][0] + a[2][0] * a[2][0]
+    b11 = a[0][1] * a[0][1] + a[1][1] * a[1][1] + a[2][1] * a[2][1]
+    b22 = a[0][2] * a[0][2] + a[1][2] * a[1][2] + a[2][2] * a[2][2]
+    b01 = a[0][0] * a[0][1] + a[1][0] * a[1][1] + a[2][0] * a[2][1]
+    b02 = a[0][0] * a[0][2] + a[1][0] * a[1][2] + a[2][0] * a[2][2]
+    b12 = a[0][1] * a[0][2] + a[1][1] * a[1][2] + a[2][1] * a[2][2]
+
+    (w0, w1, w2), v = _eigh3_scalar(b00, b11, b22, b01, b02, b12, dtype)
+
+    # eigen-pairs as column triples
+    cols = [
+        (v[0][j], v[1][j], v[2][j]) for j in range(3)
+    ]
+    ws = [w0, w1, w2]
+    for (i, j) in ((0, 1), (0, 2), (1, 2)):
+        cond = ws[i] < ws[j]
+        ws[i], ws[j] = _swap_if(cond, ws[i], ws[j])
+        ci = tuple(jnp.where(cond, cols[j][d], cols[i][d]) for d in range(3))
+        cj = tuple(jnp.where(cond, cols[i][d], cols[j][d]) for d in range(3))
+        cols[i], cols[j] = ci, cj
+    w0, w1, w2 = ws
+    vc0, vc1, vc2 = cols
+
+    cx = _cross_soa(vc0, vc1)
+    detV = cx[0] * vc2[0] + cx[1] * vc2[1] + cx[2] * vc2[2]
+    sgn = jnp.sign(detV)
+    vc2 = tuple(c * sgn for c in vc2)
+
+    s0 = jnp.sqrt(jnp.maximum(w0, 0.0))
+    s1 = jnp.sqrt(jnp.maximum(w1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(w2, 0.0))
+
+    def matvec(col):
+        return tuple(
+            a[i][0] * col[0] + a[i][1] * col[1] + a[i][2] * col[2]
+            for i in range(3)
+        )
+
+    Av0 = matvec(vc0)
+    Av1 = matvec(vc1)
+
+    n0 = jnp.sqrt(Av0[0] ** 2 + Av0[1] ** 2 + Av0[2] ** 2)
+    ok0 = n0 > 1e-12
+    inv0 = 1.0 / jnp.maximum(n0, _TINY)
+    u0 = (
+        jnp.where(ok0, Av0[0] * inv0, 1.0),
+        jnp.where(ok0, Av0[1] * inv0, 0.0),
+        jnp.where(ok0, Av0[2] * inv0, 0.0),
+    )
+
+    dot01 = u0[0] * Av1[0] + u0[1] * Av1[1] + u0[2] * Av1[2]
+    u1r = tuple(Av1[d] - dot01 * u0[d] for d in range(3))
+    n1 = jnp.sqrt(u1r[0] ** 2 + u1r[1] ** 2 + u1r[2] ** 2)
+    e0 = (jnp.ones_like(n0), jnp.zeros_like(n0), jnp.zeros_like(n0))
+    alt = _cross_soa(u0, e0)
+    altn = alt[0] ** 2 + alt[1] ** 2 + alt[2] ** 2
+    e1 = (jnp.zeros_like(n0), jnp.ones_like(n0), jnp.zeros_like(n0))
+    alt2 = _cross_soa(u0, e1)
+    alt = tuple(jnp.where(altn > 0.01, alt[d], alt2[d]) for d in range(3))
+    altn2 = jnp.sqrt(alt[0] ** 2 + alt[1] ** 2 + alt[2] ** 2 + _TINY)
+    alt = tuple(alt[d] / altn2 for d in range(3))
+    ok1 = n1 > 1e-12
+    inv1 = 1.0 / jnp.maximum(n1, _TINY)
+    u1 = tuple(jnp.where(ok1, u1r[d] * inv1, alt[d]) for d in range(3))
+
+    u2 = _cross_soa(u0, u1)
+
+    Av2 = matvec(vc2)
+    d2 = u2[0] * Av2[0] + u2[1] * Av2[1] + u2[2] * Av2[2]
+    sign2 = jnp.where(d2 < 0, -1.0, 1.0).astype(dtype)
+
+    # U columns u_k: U[i, k] = u_k[i]; V columns vc_k
+    U = jnp.stack([u0[0], u1[0], u2[0],
+                   u0[1], u1[1], u2[1],
+                   u0[2], u1[2], u2[2]])
+    V = jnp.stack([vc0[0], vc1[0], vc2[0],
+                   vc0[1], vc1[1], vc2[1],
+                   vc0[2], vc1[2], vc2[2]])
+    s = jnp.stack([s0, s1, sign2 * s2])
+    return U, s, V
+
+
+@jax.custom_vjp
+def svd3_soa(A):
+    """SoA batched SVD: (9, N) -> (U (9, N), s (3, N), V (9, N)); same
+    conventions and reference-parity VJP as :func:`svd3`."""
+    return _svd3_soa_impl(A)
+
+
+def _svd3_soa_fwd(A):
+    out = _svd3_soa_impl(A)
+    return out, out
+
+
+def _svd3_soa_bwd(res, cotangents):
+    from fluidlab_tpu.core import mat3
+
+    U, s, V = res
+    gU, gs, gV = cotangents
+    s2 = [s[i] * s[i] for i in range(3)]
+    # F[i, j] = 1/clamp(s_j^2 - s_i^2), zero diag (reference :284-289)
+    F = [
+        jnp.zeros_like(s[0]) if i == j
+        else 1.0 / _clamp_denominator(s2[j] - s2[i])
+        for i in range(3) for j in range(3)
+    ]
+    F = jnp.stack(F)
+
+    def diag_from(vals):
+        z = jnp.zeros_like(vals[0])
+        return jnp.stack([vals[0], z, z, z, vals[1], z, z, z, vals[2]])
+
+    S = diag_from([s[0], s[1], s[2]])
+    gS = diag_from([gs[0], gs[1], gs[2]])
+
+    S_term = mat3.mm_nt_soa(mat3.mm_soa(U, gS), V)
+    inner_u = F * (mat3.mm_tn_soa(U, gU) - mat3.mm_tn_soa(gU, U))
+    u_term = mat3.mm_nt_soa(mat3.mm_soa(U, mat3.mm_soa(inner_u, S)), V)
+    inner_v = F * (mat3.mm_tn_soa(V, gV) - mat3.mm_tn_soa(gV, V))
+    v_term = mat3.mm_soa(U, mat3.mm_soa(S, mat3.mm_nt_soa(inner_v, V)))
+    return (u_term + v_term + S_term,)
+
+
+svd3_soa.defvjp(_svd3_soa_fwd, _svd3_soa_bwd)

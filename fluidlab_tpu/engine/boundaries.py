@@ -2,9 +2,12 @@
 
 Pure-function equivalents of the reference boundaries (reference
 fluidlab/fluidengine/boundaries/boundaries.py:8-142).  Boundary parameters
-are static dataclass fields baked into the jitted step, so the branch
-structure compiles away; all runtime math is branch-free ``where`` lattices
-over (..., 3) arrays.
+are static dataclass fields baked into the jitted step.
+
+Layout: positions/velocities are component-major — shape (3,) for a
+single point or (3, M) for a batch (the TPU-friendly SoA layout, see
+core/mat3.py).  All methods index components on the leading axis, so the
+same code serves effector poses and particle/grid batches.
 """
 
 from __future__ import annotations
@@ -17,6 +20,10 @@ import jax.numpy as jnp
 EPS = 1e-12
 
 
+def _stack3(a, b, c):
+    return jnp.stack([a, b, c])
+
+
 @dataclasses.dataclass(frozen=True)
 class CubeBoundary:
     """Axis-aligned box clamp (reference boundaries.py:96-134)."""
@@ -27,29 +34,28 @@ class CubeBoundary:
     lock_dims: Tuple[int, ...] = ()
 
     def impose_x_v(self, x, v):
-        lower = jnp.asarray(self.lower, dtype=x.dtype)
-        upper = jnp.asarray(self.upper, dtype=x.dtype)
-        # reflect velocity component pushing out of the box
-        out_hi = (x >= upper) & (v >= 0)
-        out_lo = (x <= lower) & (v <= 0)
-        v = jnp.where(out_hi | out_lo, v * (-self.restitution), v)
-        x_new = jnp.clip(x, lower, upper)
-        if self.lock_dims:
-            mask = jnp.zeros((3,), dtype=bool).at[list(self.lock_dims)].set(True)
-            v = jnp.where(mask, 0.0, v)
-        return x_new, v
+        xs, vs = [], []
+        for i in range(3):
+            lo, hi = self.lower[i], self.upper[i]
+            vi = v[i]
+            out = ((x[i] >= hi) & (vi >= 0)) | ((x[i] <= lo) & (vi <= 0))
+            vi = jnp.where(out, vi * (-self.restitution), vi)
+            if i in self.lock_dims:
+                vi = jnp.zeros_like(vi)
+            xs.append(jnp.clip(x[i], lo, hi))
+            vs.append(vi)
+        return _stack3(*xs), _stack3(*vs)
 
     def impose_x(self, x):
-        return jnp.clip(
-            x,
-            jnp.asarray(self.lower, dtype=x.dtype),
-            jnp.asarray(self.upper, dtype=x.dtype),
-        )
+        return _stack3(*[
+            jnp.clip(x[i], self.lower[i], self.upper[i]) for i in range(3)
+        ])
 
     def is_out(self, x):
-        lower = jnp.asarray(self.lower, dtype=x.dtype)
-        upper = jnp.asarray(self.upper, dtype=x.dtype)
-        return jnp.any((x > upper) | (x < lower), axis=-1)
+        out = jnp.zeros(x.shape[1:], bool) if x.ndim > 1 else jnp.asarray(False)
+        for i in range(3):
+            out = out | (x[i] > self.upper[i]) | (x[i] < self.lower[i])
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,60 +68,52 @@ class CylinderBoundary:
     restitution: float = 0.0
     lock_dims: Tuple[int, ...] = ()
 
-    def _clamped(self, x):
-        lower = jnp.asarray([0.0, self.y_range[0], 0.0], dtype=x.dtype)
-        upper = jnp.asarray([1.0, self.y_range[1], 1.0], dtype=x.dtype)
-        x_new = jnp.clip(x, lower, upper)
-        center = jnp.asarray(self.xz_center, dtype=x.dtype)
-        r_vec = jnp.stack([x[..., 0], x[..., 2]], axis=-1) - center
-        r_norm = jnp.sqrt(jnp.sum(r_vec * r_vec, axis=-1) + EPS)
-        outside_r = r_norm > self.xz_radius
-        new_xz = r_vec / r_norm[..., None] * self.xz_radius + center
-        x_clamped = jnp.stack(
-            [
-                jnp.where(outside_r, new_xz[..., 0], x_new[..., 0]),
-                x_new[..., 1],
-                jnp.where(outside_r, new_xz[..., 1], x_new[..., 2]),
-            ],
-            axis=-1,
-        )
-        return x_clamped, outside_r, r_norm
+    def _radial(self, x):
+        cx, cz = self.xz_center
+        rx = x[0] - cx
+        rz = x[2] - cz
+        r = jnp.sqrt(rx * rx + rz * rz + EPS)
+        return rx, rz, r
 
     def impose_x_v(self, x, v):
         y_lo, y_hi = self.y_range
-        vy = v[..., 1]
-        vy = jnp.where(
-            (x[..., 1] > y_hi) & (vy > 0), vy * (-self.restitution), vy
-        )
-        vy = jnp.where(
-            (x[..., 1] < y_lo) & (vy < 0), vy * (-self.restitution), vy
-        )
-        x_new, outside_r, _ = self._clamped(x)
-        # radial overflow kills horizontal velocity (reference :50-57)
-        vx = jnp.where(outside_r, 0.0, v[..., 0])
-        vz = jnp.where(outside_r, 0.0, v[..., 2])
-        v_new = jnp.stack([vx, vy, vz], axis=-1)
-        if self.lock_dims:
-            mask = jnp.zeros((3,), dtype=bool).at[list(self.lock_dims)].set(True)
-            v_new = jnp.where(mask, 0.0, v_new)
-        return x_new, v_new
+        vy = v[1]
+        vy = jnp.where((x[1] > y_hi) & (vy > 0), vy * (-self.restitution), vy)
+        vy = jnp.where((x[1] < y_lo) & (vy < 0), vy * (-self.restitution), vy)
+        y_new = jnp.clip(x[1], y_lo, y_hi)
+
+        cx, cz = self.xz_center
+        rx, rz, r = self._radial(x)
+        outside = r > self.xz_radius
+        scale = self.xz_radius / r
+        x_new = jnp.where(outside, cx + rx * scale, jnp.clip(x[0], 0.0, 1.0))
+        z_new = jnp.where(outside, cz + rz * scale, jnp.clip(x[2], 0.0, 1.0))
+        vx = jnp.where(outside, 0.0, v[0])
+        vz = jnp.where(outside, 0.0, v[2])
+        vs = [vx, vy, vz]
+        for i in self.lock_dims:
+            vs[i] = jnp.zeros_like(vs[i])
+        return _stack3(x_new, y_new, z_new), _stack3(*vs)
 
     def impose_x(self, x):
-        x_new, _, _ = self._clamped(x)
-        return x_new
+        y_lo, y_hi = self.y_range
+        y_new = jnp.clip(x[1], y_lo, y_hi)
+        cx, cz = self.xz_center
+        rx, rz, r = self._radial(x)
+        outside = r > self.xz_radius
+        scale = self.xz_radius / r
+        x_new = jnp.where(outside, cx + rx * scale, jnp.clip(x[0], 0.0, 1.0))
+        z_new = jnp.where(outside, cz + rz * scale, jnp.clip(x[2], 0.0, 1.0))
+        return _stack3(x_new, y_new, z_new)
 
     def is_out(self, x):
         y_lo, y_hi = self.y_range
-        out_y = (x[..., 1] > y_hi) | (x[..., 1] < y_lo)
-        center = jnp.asarray(self.xz_center, dtype=x.dtype)
-        r_vec = jnp.stack([x[..., 0], x[..., 2]], axis=-1) - center
-        r_norm = jnp.sqrt(jnp.sum(r_vec * r_vec, axis=-1) + EPS)
-        return out_y | (r_norm > self.xz_radius)
+        _, _, r = self._radial(x)
+        return (x[1] > y_hi) | (x[1] < y_lo) | (r > self.xz_radius)
 
 
 def create_boundary(type="cube", **kwargs):
-    """Factory matching the reference (boundaries.py:136-142).  Accepts the
-    reference's yaml conventions (tuples possibly given as strings)."""
+    """Factory matching the reference (boundaries.py:136-142)."""
     from fluidlab_tpu.utils.misc import eval_str
 
     kwargs = {k: eval_str(v) if isinstance(v, str) else v for k, v in kwargs.items()}

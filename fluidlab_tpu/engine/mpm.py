@@ -9,42 +9,49 @@ fluidlab/fluidengine/simulators/mpm_simulator.py:515-533):
 as one pure function ``substep(state, params) -> state``:
 
 - the activation mask and "process unused" carries become ``where``
-  lattices over the dense particle arrays (the mask never changes shape —
-  required under jit);
-- Taichi's atomic P2G scatter becomes a single batched XLA scatter-add of
-  the 27-point stencil (deterministic reduction — no atomics, no races);
+  lattices over dense particle arrays;
+- Taichi's atomic P2G scatter becomes a pluggable deterministic transfer
+  (ops/p2g.py: XLA scatter / sort / Pallas block kernel);
 - grid_op is a dense masked update over grid nodes with *precomputed*
   static-collider SDF/normal grids;
-- rigid shape matching (reference :449-505) becomes segment_sum + batched
-  3x3 SVD over bodies;
-- the whole substep is differentiable end-to-end through ``jax.grad``;
-  time integration memory is managed by ``lax.scan`` + ``jax.checkpoint``
-  in ``rollout.py`` (replacing the reference's frame-window tape).
+- rigid shape matching (reference :449-505) is segment_sum + batched SVD;
+- the whole substep is differentiable end-to-end; time-integration memory
+  comes from ``lax.scan`` + ``jax.checkpoint`` (rollout.py).
 
-Every kernel keeps static shapes and branch-free inner math; agent/scene
-structure is baked in at trace time from the static ``SimCfg``.
+Layout is SoA/component-major (core/mat3.py): positions/velocities
+(3, N), matrices (9, N) row-major, grid (4, G^3) channel-major — the
+particle/cell axis is always minor, so TPU (8, 128) tiling packs fully.
+A trailing-(N, 3) layout costs 42x padded HBM traffic and was measured
+~50 ms/substep at 65k particles; this layout is the difference between
+that and real performance.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from fluidlab_tpu.config import materials as M
 from fluidlab_tpu.core import quat as quat_ops
-from fluidlab_tpu.core.bspline import STENCIL, base_and_fx, quadratic_weights
-from fluidlab_tpu.core.mat3 import diag_matmul3, matmul3, matmul3_nt, matvec3
-from fluidlab_tpu.core.svd3 import svd3
+from fluidlab_tpu.core.bspline import STENCIL, base_and_fx_soa, quadratic_weights_soa
+from fluidlab_tpu.core.mat3 import (
+    det_soa,
+    diag_mm_soa,
+    eye_soa,
+    mm_nt_soa,
+    mm_soa,
+    mv_soa,
+    outer_soa,
+)
+from fluidlab_tpu.core.svd3 import svd3_soa
 from fluidlab_tpu.engine import sdf as sdf_ops
 from fluidlab_tpu.engine.config import AgentCfg, SimCfg
 from fluidlab_tpu.engine.scene import SceneParams
 from fluidlab_tpu.engine.types import EffectorState, ParticleState, SimState
 
 EPS = M.EPS  # 1e-12 (reference macros.py:213)
-_EYE3 = jnp.eye(3, dtype=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -54,8 +61,8 @@ _EYE3 = jnp.eye(3, dtype=jnp.float32)
 def _agent_collide(
     cfg: SimCfg,
     params: SceneParams,
-    pos: jnp.ndarray,
-    vel: jnp.ndarray,
+    pos,  # (3, M)
+    vel,  # (3, M)
     effs: Tuple[EffectorState, ...],
     effs_next: Tuple[EffectorState, ...],
 ):
@@ -79,9 +86,10 @@ def _agent_collide(
             cfg.dt,
         )
         if agent.collide_y_gate is not None:
-            vel = jnp.where(
-                (pos[..., 1] > agent.collide_y_gate)[..., None], v_new, vel
-            )
+            gate = pos[1] > agent.collide_y_gate
+            vel = jnp.stack([
+                jnp.where(gate, v_new[d], vel[d]) for d in range(3)
+            ])
         else:
             vel = v_new
     return vel
@@ -105,16 +113,15 @@ def _inject(
     params: SceneParams,
     i: int,
     eff: EffectorState,
-    f_global: jnp.ndarray,
-    x_next: jnp.ndarray,
-    v_next: jnp.ndarray,
-    used_next: jnp.ndarray,
-    gate: jnp.ndarray,
+    f_global,
+    x_next,  # (3, N)
+    v_next,  # (3, N)
+    used_next,  # (N,)
+    gate,
 ):
     """Spawn ``flux`` particles from the pre-generated offset table
-    (reference injector.py:80-105, 240-256).  ``gate`` is a traced bool:
-    when False the state is returned unchanged (both branches have
-    identical structure, so this is a cheap ``lax.cond``)."""
+    (reference injector.py:80-105, 240-256).  The tiny (flux, 3) blocks
+    stay AoS; only the final scatter touches the SoA state."""
     ecfg = cfg.agent.effectors[i]
     flux = ecfg.flux
     act_range = params.inj_act_range[i]
@@ -127,8 +134,7 @@ def _inject(
         rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
         inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
         if ecfg.kind == "ball_injector":
-            # offsets pre-scaled to the ball at table build time
-            xi = rv + eff.pos
+            xi = rv + eff.pos  # offsets pre-scaled to the ball
             vi = jnp.broadcast_to(inject_v, (flux, 3))
         else:
             offset = (rv * 2.0 - 1.0) * ecfg.radius
@@ -141,8 +147,9 @@ def _inject(
                 vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
             else:
                 vi = jnp.broadcast_to(vdir, (flux, 3))
-        x_n = x_n.at[idx].set(xi)
-        v_n = v_n.at[idx].set(vi)
+        for d in range(3):
+            x_n = x_n.at[d, idx].set(xi[:, d])
+            v_n = v_n.at[d, idx].set(vi[:, d])
         used_n = used_n.at[idx].set(True)
         return x_n, v_n, used_n, act_id + flux
 
@@ -163,7 +170,7 @@ def make_substep(cfg: SimCfg):
     dx = cfg.dx
     inv_dx = cfg.inv_dx
     p_vol = cfg.p_vol
-    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    gravity = cfg.gravity
     agent = cfg.agent
     stencil = [tuple(int(v) for v in o) for o in STENCIL]
 
@@ -171,21 +178,19 @@ def make_substep(cfg: SimCfg):
 
     _p2g = get_p2g(cfg.p2g_impl)
 
-    # grid node world positions, as a compile-time constant expression
     def _cell_pos():
         ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
-        return (
-            jnp.stack([ii, jj, kk], axis=-1).reshape(G3, 3).astype(jnp.float32)
-            * dx
-        )
+        return jnp.stack([
+            ii.reshape(G3), jj.reshape(G3), kk.reshape(G3)
+        ]).astype(jnp.float32) * dx  # (3, G^3)
 
     def substep(state: SimState, params: SceneParams, has_action) -> SimState:
         ps = state.particles
         effs = state.effectors
         x, v, C, F, used = ps.x, ps.v, ps.C, ps.F, ps.used
-        N = x.shape[0]
+        N = x.shape[-1]
 
         # ---- collector: deactivate out-of-boundary particles in the
         # *current* frame too, so they skip this whole substep (reference
@@ -201,55 +206,61 @@ def make_substep(cfg: SimCfg):
         usedf = used.astype(x.dtype)
 
         # ---- F_tmp = (I + dt C) F and its SVD (reference :254-264)
-        F_tmp = matmul3(_EYE3 + dt * C, F)
-        F_tmp = jnp.where(used[:, None, None], F_tmp, _EYE3)
-        U, sig, V = svd3(F_tmp)
+        I9 = eye_soa(N, x.dtype)
+        F_tmp = mm_soa(I9 + dt * C, F)
+        F_tmp = jnp.where(used[None, :], F_tmp, I9)
+        U, sig, V = svd3_soa(F_tmp)
 
         # ---- stress (corotated + volumetric, reference p2g :339-344)
-        J = sig[:, 0] * sig[:, 1] * sig[:, 2]
-        R = matmul3_nt(U, V)  # U V^T
-        stress = 2.0 * params.p_mu[:, None, None] * matmul3_nt(
-            F_tmp - R, F_tmp
-        ) + _EYE3 * (params.p_lam * J * (J - 1.0))[:, None, None]
+        J = sig[0] * sig[1] * sig[2]
+        R = mm_nt_soa(U, V)  # U V^T
+        stress = 2.0 * params.p_mu[None, :] * mm_nt_soa(F_tmp - R, F_tmp)
+        vol_term = params.p_lam * J * (J - 1.0)
+        for d in (0, 4, 8):
+            stress = stress.at[d].add(vol_term)
         stress = (-dt * p_vol * 4.0 * inv_dx * inv_dx) * stress
-        affine = stress + params.p_mass[:, None, None] * C
+        affine = stress + params.p_mass[None, :] * C
 
         # ---- deformation-gradient update by material class (:355-378)
-        F_liquid = _EYE3 * jnp.cbrt(J)[:, None, None]
+        cbrtJ = jnp.cbrt(J)
+        F_liquid = I9 * cbrtJ[None, :]
         sig_clamped = jnp.clip(sig, 1.0 - 2e-3, 1.0 + 3e-3)
-        F_plastic = diag_matmul3(U, sig_clamped, V)
+        F_plastic = diag_mm_soa(U, sig_clamped, V)
         cls = params.p_mat_cls
-        is_liquid = (cls == M.MAT_LIQUID)[:, None, None]
+        is_liquid = (cls == M.MAT_LIQUID)[None, :]
         is_plastic = (
             (cls == M.MAT_PLASTO_ELASTIC) | (cls == M.MAT_PLASTO_ELASTIC_DEMO)
-        )[:, None, None]
-        F_new = jnp.where(is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp))
-        F_next = jnp.where(used[:, None, None], F_new, F)
+        )[None, :]
+        F_new = jnp.where(
+            is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp)
+        )
+        F_next = jnp.where(used[None, :], F_new, F)
 
-        # ---- P2G: particle-to-grid transfer of the 27-point stencil
-        # (:331-353); implementation selected by cfg.p2g_impl (ops/p2g.py)
-        base, fx = base_and_fx(x, inv_dx)
+        # ---- P2G (ops/p2g.py; impl from cfg.p2g_impl)
+        base, fx = base_and_fx_soa(x, inv_dx)
         base = jnp.clip(base, 0, G - 3)
-        w = quadratic_weights(fx)  # (N, 3, 3)
+        w = quadratic_weights_soa(fx)  # (3 off, 3 ax, N)
         grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx)
 
         # ---- effector pose integration (before grid_op: collider velocity
-        # needs pos[f] and pos[f+1]; reference substep stage order :515-533)
-        if agent is not None:
+        # needs pos[f] and pos[f+1]; reference substep order :515-533)
+        if agent is not None and len(agent.effectors) > 0:
             effs_next = jax.lax.cond(
                 has_action,
                 lambda es: _move_effectors(cfg, es),
                 lambda es: es,
                 effs,
-            ) if _any_action_effector(agent) else effs
+            )
         else:
             effs_next = effs
 
-        # ---- grid_op: momentum -> velocity, gravity, collisions, boundary
-        # (reference :380-398)
-        mass_g = grid[:, 3]
+        # ---- grid_op (reference :380-398)
+        mass_g = grid[3]
         active = mass_g > EPS
-        v_out = grid[:, :3] / jnp.maximum(mass_g, EPS)[:, None] + dt * gravity
+        inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
+        v_out = jnp.stack([
+            grid[d] * inv_mass + dt * gravity[d] for d in range(3)
+        ])
         cell_pos = _cell_pos()
         if cfg.n_statics > 0:
             for si in range(cfg.n_statics):
@@ -262,55 +273,51 @@ def make_substep(cfg: SimCfg):
         if agent is not None and agent.collide_type in ("grid", "both"):
             v_out = _agent_collide(cfg, params, cell_pos, v_out, effs, effs_next)
         _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
-        v_out = jnp.where(active[:, None], v_out, 0.0)
+        v_out = v_out * active[None, :].astype(x.dtype)
 
         # ---- G2P gather (:400-426)
         new_v = jnp.zeros_like(v)
         new_C = jnp.zeros_like(C)
         for (oi, oj, ok) in stencil:
-            wi = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2]
-            idx = (base[:, 0] + oi) * (G * G) + (base[:, 1] + oj) * G + (base[:, 2] + ok)
-            g_v = v_out[idx]
-            off = jnp.asarray([oi, oj, ok], dtype=x.dtype)
-            dpos = off - fx  # unitless (reference :410)
-            new_v = new_v + wi[:, None] * g_v
-            new_C = new_C + (4.0 * inv_dx) * wi[:, None, None] * (
-                g_v[:, :, None] * dpos[:, None, :]
-            )
+            wi = w[oi, 0] * w[oj, 1] * w[ok, 2]
+            idx = (base[0] + oi) * (G * G) + (base[1] + oj) * G + (base[2] + ok)
+            g_v = v_out[:, idx]  # (3, N)
+            dpos = jnp.stack([oi - fx[0], oj - fx[1], ok - fx[2]])  # unitless
+            new_v = new_v + wi[None, :] * g_v
+            new_C = new_C + (4.0 * inv_dx) * wi[None, :] * outer_soa(g_v, dpos)
         if agent is not None and agent.collide_type in ("particle", "both"):
             x_tmp = x + dt * new_v
             new_v = _agent_collide(cfg, params, x_tmp, new_v, effs, effs_next)
-        v_next = jnp.where(used[:, None], new_v, v)
-        C_next = jnp.where(used[:, None, None], new_C, C)
+        v_next = jnp.where(used[None, :], new_v, v)
+        C_next = jnp.where(used[None, :], new_C, C)
 
         # ---- advect + rigid-body shape matching (:428-505)
         x_adv = x + dt * v_next
         if cfg.has_rigid_bodies:
             B = cfg.n_bodies
             rigid = ((params.p_mat_cls == M.MAT_RIGID) & used).astype(x.dtype)
-            wp = rigid[:, None]
             x1 = x + dt * v_next
             inv_n = 1.0 / jnp.maximum(params.body_n, 1.0)
-            com0 = (
-                jax.ops.segment_sum(x * wp, params.p_body, num_segments=B)
-                * inv_n[:, None]
-            )
-            com1 = (
-                jax.ops.segment_sum(x1 * wp, params.p_body, num_segments=B)
-                * inv_n[:, None]
-            )
-            d0 = x - com0[params.p_body]
-            d1 = x1 - com1[params.p_body]
-            H = jax.ops.segment_sum(
-                wp[:, :, None] * (d0[:, :, None] * d1[:, None, :]),
-                params.p_body,
-                num_segments=B,
-            )
-            Ub, sb, Vb = svd3(H)
-            Rb = matmul3_nt(Vb, Ub)  # V U^T (reference :495)
-            x_rigid = matvec3(Rb[params.p_body], d0) + com1[params.p_body]
-            x_adv = jnp.where((rigid > 0)[:, None], x_rigid, x_adv)
-        x_next = jnp.where(used[:, None], x_adv, x)
+
+            def seg(vals):  # (C, N) -> (C, B)
+                return jnp.stack([
+                    jax.ops.segment_sum(
+                        vals[c] * rigid, params.p_body, num_segments=B
+                    )
+                    for c in range(vals.shape[0])
+                ])
+
+            com0 = seg(x) * inv_n[None, :]
+            com1 = seg(x1) * inv_n[None, :]
+            d0 = x - com0[:, params.p_body]
+            d1 = x1 - com1[:, params.p_body]
+            H = seg(outer_soa(d0, d1))  # (9, B)
+            Ub, sb, Vb = svd3_soa(H)
+            Rb = mm_nt_soa(Vb, Ub)  # V U^T (reference :495)
+            x_rigid = mv_soa(Rb[:, params.p_body], d0) + com1[:, params.p_body]
+            is_r = rigid[None, :] > 0
+            x_adv = jnp.where(is_r, x_rigid, x_adv)
+        x_next = jnp.where(used[None, :], x_adv, x)
 
         used_next = used
 
@@ -333,9 +340,10 @@ def make_substep(cfg: SimCfg):
 
         # ---- collector finalize: park collected particles at NOWHERE
         if collect is not None:
-            x_next = jnp.where(
-                collect[:, None], jnp.asarray(M.NOWHERE, dtype=x.dtype), x_next
-            )
+            nowhere = jnp.asarray(M.NOWHERE, dtype=x.dtype)
+            x_next = jnp.stack([
+                jnp.where(collect, nowhere[d], x_next[d]) for d in range(3)
+            ])
             used_next = used_next & ~collect
 
         return state.replace(
@@ -349,21 +357,13 @@ def make_substep(cfg: SimCfg):
     return substep
 
 
-def _any_action_effector(agent: AgentCfg) -> bool:
-    return len(agent.effectors) > 0
-
-
 # --------------------------------------------------------------------------
 # the control step: action routing + smoke + n_substeps
 # --------------------------------------------------------------------------
 
-def set_action(cfg: SimCfg, effs: Tuple[EffectorState, ...], action: jnp.ndarray):
+def set_action(cfg: SimCfg, effs: Tuple[EffectorState, ...], action):
     """Route an action vector to effector per-substep velocities
-    (reference effector.py:252-268, aircon.py:202-215, agent.py:71-81).
-
-    A step action is a *displacement over the control step*, spread across
-    the substeps (divide by n_substeps); AirCon strength/radius are held,
-    not divided."""
+    (reference effector.py:252-268, aircon.py:202-215, agent.py:71-81)."""
     agent = cfg.agent
     n_sub = float(cfg.n_substeps)
     dims = agent.action_dims
@@ -398,7 +398,7 @@ def set_action(cfg: SimCfg, effs: Tuple[EffectorState, ...], action: jnp.ndarray
 
 def apply_action_p(cfg: SimCfg, effs: Tuple[EffectorState, ...], action_p):
     """Set initial effector positions from the position action (reference
-    effector.py:223-231: pos[0] = boundary.impose_x(action_p * scale_p))."""
+    effector.py:223-231)."""
     agent = cfg.agent
     dims = agent.action_dims
     out = []

@@ -11,9 +11,11 @@ TPU-first deviations from the reference:
   static.py:65-79).  Runtime static collision is then a pure masked
   velocity projection — zero gathers.
 - Dynamic colliders trilerp a precomputed voxel *gradient* field for
-  normals (one 8-corner gather of 4 channels) instead of finite
-  differencing the trilerp (13 SDF evaluations, dynamic.py:69-84).  Both
-  compute the same smooth normal field up to O(delta^2).
+  normals (one 8-corner gather pass) instead of finite differencing the
+  trilerp (13 SDF evaluations, dynamic.py:69-84).
+- Layout is SoA/component-major: query batches are (3, M), normals
+  (3, M), gradient voxels (3, V, V, V) — the particle/cell axis is minor
+  so TPU lane tiling packs fully (see core/mat3.py).
 """
 
 from __future__ import annotations
@@ -34,122 +36,145 @@ class ColliderParams:
     """Device-side voxel data for one dynamic (effector-attached) collider."""
 
     sdf: jnp.ndarray  # (V, V, V)
-    grad: jnp.ndarray  # (V, V, V, 3) voxel-space gradient of sdf
+    grad: jnp.ndarray  # (3, V, V, V) voxel-space gradient of sdf
     T_mesh_to_voxels: jnp.ndarray  # (4, 4)
 
 
-def sdf_trilerp(values: jnp.ndarray, pos_voxels: jnp.ndarray, outside_value: float = 1.0):
-    """Trilinear interpolation of a voxel field at (..., 3) voxel coords.
+def sdf_trilerp_soa(values, pos_vox, outside_value: float = 1.0):
+    """Trilinear interpolation at (3, M) voxel coords.
 
-    Out-of-grid queries return ``outside_value`` (reference static.py:33-48:
-    sdf = 1.0 outside the voxel grid).  ``values`` is (V, V, V) or
-    (V, V, V, C).
-    """
-    res = values.shape[0]
+    ``values``: (V, V, V) scalar or (C, V, V, V) channel-major field.
+    Out-of-grid queries return ``outside_value`` (reference
+    static.py:33-48)."""
     scalar = values.ndim == 3
-    vals = values[..., None] if scalar else values
-    C = vals.shape[-1]
+    vals = values[None] if scalar else values
+    C = vals.shape[0]
+    res = vals.shape[1]
+    flat = vals.reshape(C, -1)
 
-    base = jnp.floor(pos_voxels).astype(jnp.int32)
-    out_of_grid = jnp.any((base >= res - 1) | (base < 0), axis=-1)
-    base_c = jnp.clip(base, 0, res - 2)
+    base = [jnp.floor(pos_vox[i]).astype(jnp.int32) for i in range(3)]
+    oog = jnp.zeros(pos_vox.shape[1:], bool)
+    for i in range(3):
+        oog = oog | (base[i] >= res - 1) | (base[i] < 0)
+    base_c = [jnp.clip(b, 0, res - 2) for b in base]
 
-    flat = vals.reshape(-1, C)
-    acc = jnp.zeros(pos_voxels.shape[:-1] + (C,), dtype=vals.dtype)
+    acc = [jnp.zeros(pos_vox.shape[1:], vals.dtype) for _ in range(C)]
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
-                corner = base_c + jnp.asarray([dx, dy, dz], dtype=jnp.int32)
-                w_xyz = 1.0 - jnp.abs(pos_voxels - corner.astype(pos_voxels.dtype))
-                w = w_xyz[..., 0] * w_xyz[..., 1] * w_xyz[..., 2]
-                idx = (corner[..., 0] * res + corner[..., 1]) * res + corner[..., 2]
-                acc = acc + w[..., None] * flat[idx]
-    acc = jnp.where(out_of_grid[..., None], outside_value, acc)
-    return acc[..., 0] if scalar else acc
+                cx = base_c[0] + dx
+                cy = base_c[1] + dy
+                cz = base_c[2] + dz
+                w = (
+                    (1.0 - jnp.abs(pos_vox[0] - cx))
+                    * (1.0 - jnp.abs(pos_vox[1] - cy))
+                    * (1.0 - jnp.abs(pos_vox[2] - cz))
+                )
+                idx = (cx * res + cy) * res + cz
+                for c in range(C):
+                    acc[c] = acc[c] + w * flat[c][idx]
+    out = [jnp.where(oog, outside_value, a) for a in acc]
+    return out[0] if scalar else jnp.stack(out)
 
 
 def voxel_gradient(sdf_voxels: np.ndarray, delta: float = 1.0) -> np.ndarray:
-    """Central-difference gradient of an SDF voxel grid (host-side)."""
-    g = np.zeros(sdf_voxels.shape + (3,), dtype=sdf_voxels.dtype)
-    for axis in range(3):
-        g[..., axis] = np.gradient(sdf_voxels, delta, axis=axis)
-    return g
-
-
-def _friction_project(rel_v, normal_vec, friction):
-    """Coulomb-style velocity projection shared by static and dynamic
-    collide (reference static.py:88-102)."""
-    normal_component = jnp.sum(rel_v * normal_vec, axis=-1, keepdims=True)
-    # remove inward normal velocity
-    rel_v_t = rel_v - jnp.minimum(normal_component, 0.0) * normal_vec
-    rel_v_t_norm = jnp.sqrt(jnp.sum(rel_v_t * rel_v_t, axis=-1, keepdims=True))
-    safe_norm = jnp.maximum(rel_v_t_norm, EPS)
-    rel_v_t_friction = rel_v_t / safe_norm * jnp.maximum(
-        0.0, rel_v_t_norm + normal_component * friction
+    """Central-difference gradient (3, V, V, V), host-side."""
+    g = np.stack(
+        [np.gradient(sdf_voxels, delta, axis=ax) for ax in range(3)]
     )
-    flag = (normal_component < 0) & (rel_v_t_norm > EPS)
-    return jnp.where(flag, rel_v_t_friction, rel_v_t)
+    return g.astype(sdf_voxels.dtype)
+
+
+def _friction_project_soa(rel_v, normal, friction):
+    """Coulomb-style velocity projection (reference static.py:88-102).
+    rel_v, normal: (3, M)."""
+    nc = sum(rel_v[i] * normal[i] for i in range(3))
+    nc_neg = jnp.minimum(nc, 0.0)
+    rel_t = [rel_v[i] - nc_neg * normal[i] for i in range(3)]
+    tnorm = jnp.sqrt(sum(t * t for t in rel_t))
+    safe = jnp.maximum(tnorm, EPS)
+    scale = jnp.maximum(0.0, tnorm + nc * friction) / safe
+    flag = (nc < 0) & (tnorm > EPS)
+    return jnp.stack([
+        jnp.where(flag, rel_t[i] * scale, rel_t[i]) for i in range(3)
+    ])
 
 
 def static_collide(v, sdf_cell, normal_cell, friction):
-    """Grid-node collision with a precomputed static SDF (reference
-    static.py:82-104).  All arrays are per-cell: v (M, 3), sdf_cell (M,),
-    normal_cell (M, 3)."""
-    projected = _friction_project(v, normal_cell, friction)
-    return jnp.where((sdf_cell <= 0.0)[..., None], projected, v)
+    """Grid-node collision with precomputed static SDF (reference
+    static.py:82-104).  v (3, M), sdf_cell (M,), normal_cell (3, M)."""
+    projected = _friction_project_soa(v, normal_cell, friction)
+    hit = sdf_cell <= 0.0
+    return jnp.stack([
+        jnp.where(hit, projected[i], v[i]) for i in range(3)
+    ])
+
+
+def _world_to_voxels(pos_mesh, T):
+    """(3, M) mesh coords -> voxel coords via 4x4 T."""
+    return jnp.stack([
+        T[i, 0] * pos_mesh[0] + T[i, 1] * pos_mesh[1]
+        + T[i, 2] * pos_mesh[2] + T[i, 3]
+        for i in range(3)
+    ])
 
 
 def dynamic_collide(
     collider: ColliderParams,
     friction: float,
     softness: float,
-    pos_world: jnp.ndarray,  # (..., 3) query points
-    mat_v: jnp.ndarray,  # (..., 3) material velocity
-    eff_pos: jnp.ndarray,
-    eff_quat: jnp.ndarray,
-    eff_pos_next: jnp.ndarray,
-    eff_quat_next: jnp.ndarray,
+    pos_world,  # (3, M)
+    mat_v,  # (3, M)
+    eff_pos,
+    eff_quat,
+    eff_pos_next,
+    eff_quat_next,
     dt: float,
 ):
     """Soft-coupled moving-SDF collision (reference dynamic.py:93-121)."""
-    pos_mesh = quat_ops.inv_transform_by_trans_quat(pos_world, eff_pos, eff_quat)
-    pos_voxels = quat_ops.transform_by_T(pos_mesh, collider.T_mesh_to_voxels)
+    pos_mesh = quat_ops.inv_transform_by_trans_quat_soa(
+        pos_world, eff_pos, eff_quat
+    )
+    pos_vox = _world_to_voxels(pos_mesh, collider.T_mesh_to_voxels)
 
-    signed_dist = sdf_trilerp(collider.sdf, pos_voxels, outside_value=1.0)
+    signed_dist = sdf_trilerp_soa(collider.sdf, pos_vox, outside_value=1.0)
     influence = jnp.minimum(jnp.exp(-signed_dist * softness), 1.0)
     active = (signed_dist <= 0.0) | ((softness > 0.0) & (influence > 0.1))
 
-    # collider surface velocity from the frame-to-frame pose delta
-    pos_world_new = quat_ops.transform_by_trans_quat(pos_mesh, eff_pos_next, eff_quat_next)
+    pos_world_new = quat_ops.transform_by_trans_quat_soa(
+        pos_mesh, eff_pos_next, eff_quat_next
+    )
     collider_v = (pos_world_new - pos_world) / dt
 
     if friction > 10.0:  # sticky contact (reference dynamic.py:101-102)
         v_new = collider_v
     else:
-        # normal: trilerp the voxel-space gradient, rotate to world
-        g_vox = sdf_trilerp(collider.grad, pos_voxels, outside_value=0.0)
-        R_vox_to_mesh = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
-        g_mesh = g_vox @ R_vox_to_mesh.T
-        g_world = quat_ops.transform_by_quat(g_mesh, eff_quat)
-        normal_vec = g_world / jnp.sqrt(
-            jnp.sum(g_world * g_world, axis=-1, keepdims=True) + EPS
-        )
+        g_vox = sdf_trilerp_soa(collider.grad, pos_vox, outside_value=0.0)
+        Rvm = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
+        g_mesh = jnp.stack([
+            Rvm[i, 0] * g_vox[0] + Rvm[i, 1] * g_vox[1] + Rvm[i, 2] * g_vox[2]
+            for i in range(3)
+        ])
+        g_world = quat_ops.transform_by_quat_soa(g_mesh, eff_quat)
+        norm = jnp.sqrt(sum(g_world[i] ** 2 for i in range(3)) + EPS)
+        normal = g_world / norm
         rel_v = mat_v - collider_v
-        rel_v_t = _friction_project(rel_v, normal_vec, friction)
-        inf = influence[..., None]
-        v_new = collider_v + rel_v_t * inf + rel_v * (1.0 - inf)
+        rel_t = _friction_project_soa(rel_v, normal, friction)
+        v_new = collider_v + rel_t * influence + rel_v * (1.0 - influence)
 
-    return jnp.where(active[..., None], v_new, mat_v)
+    return jnp.stack([
+        jnp.where(active, v_new[i], mat_v[i]) for i in range(3)
+    ])
 
 
 def precompute_static_grid(
     sdf_voxels: np.ndarray,
     T_mesh_to_voxels: np.ndarray,
-    cell_pos: np.ndarray,  # (M, 3) world-space query points
+    cell_pos: np.ndarray,  # (M, 3) world-space query points (host, AoS)
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Evaluate a static SDF + world normal at fixed query points
-    (host-side, numpy).  Statics use world frame == mesh frame (reference
-    static.py:26-31)."""
+    """Host-side static SDF + world normal at fixed query points; returns
+    (sdf (M,), normal (3, M)).  Statics use world frame == mesh frame
+    (reference static.py:26-31)."""
     res = sdf_voxels.shape[0]
     pos_vox = cell_pos @ T_mesh_to_voxels[:3, :3].T + T_mesh_to_voxels[:3, 3]
 
@@ -157,20 +182,20 @@ def precompute_static_grid(
         base = np.floor(p).astype(np.int64)
         oog = np.any((base >= res - 1) | (base < 0), axis=-1)
         base_c = np.clip(base, 0, res - 2)
-        acc = np.zeros(p.shape[:-1] + vals.shape[3:], dtype=np.float64)
+        acc = np.zeros(p.shape[:-1], dtype=np.float64)
         for dx in (0, 1):
             for dy in (0, 1):
                 for dz in (0, 1):
                     corner = base_c + np.array([dx, dy, dz])
                     w_xyz = 1.0 - np.abs(p - corner)
                     w = w_xyz[..., 0] * w_xyz[..., 1] * w_xyz[..., 2]
-                    cvals = vals[corner[..., 0], corner[..., 1], corner[..., 2]]
-                    acc = acc + (w[..., None] if cvals.ndim > w.ndim else w) * cvals
+                    acc = acc + w * vals[
+                        corner[..., 0], corner[..., 1], corner[..., 2]
+                    ]
         acc[oog] = outside
         return acc
 
     sdf = trilerp_np(sdf_voxels, pos_vox, 1.0)
-    # finite-difference normal in voxel space (reference static.py:65-79)
     delta = 1e-2
     normal_vox = np.zeros_like(pos_vox)
     for i in range(3):
@@ -185,4 +210,4 @@ def precompute_static_grid(
     normal_world = normal_vox @ R_vox_to_mesh.T
     norm = np.linalg.norm(normal_world, axis=-1, keepdims=True)
     normal_world = normal_world / np.maximum(norm, 1e-12)
-    return sdf.astype(np.float32), normal_world.astype(np.float32)
+    return sdf.astype(np.float32), normal_world.T.astype(np.float32)

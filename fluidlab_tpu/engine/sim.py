@@ -349,17 +349,17 @@ class FluidSim:
             **param_kwargs,
         )
 
-        # ---- initial state
+        # ---- initial state (SoA layout: vectors (3, N), matrices (9, N))
         p_state = None
         if particles is not None:
-            x0 = particles["x"].astype(np.float32)
+            x0 = particles["x"].astype(np.float32).T  # (3, N)
+            F0 = np.zeros((9, n_particles), np.float32)
+            F0[[0, 4, 8]] = 1.0
             p_state = ParticleState(
                 x=jnp.asarray(x0),
-                v=jnp.zeros((n_particles, 3), jnp.float32),
-                C=jnp.zeros((n_particles, 3, 3), jnp.float32),
-                F=jnp.broadcast_to(
-                    jnp.eye(3, dtype=jnp.float32), (n_particles, 3, 3)
-                ),
+                v=jnp.zeros((3, n_particles), jnp.float32),
+                C=jnp.zeros((9, n_particles), jnp.float32),
+                F=jnp.asarray(F0),
                 used=jnp.asarray(particles["used"].astype(bool)),
             )
         effs = []

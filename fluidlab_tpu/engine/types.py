@@ -20,12 +20,16 @@ from flax import struct
 @struct.dataclass
 class ParticleState:
     """Per-particle dynamic state (reference particle_state struct,
-    mpm_simulator.py:75-88)."""
+    mpm_simulator.py:75-88).
 
-    x: jnp.ndarray  # (N, 3) position
-    v: jnp.ndarray  # (N, 3) velocity
-    C: jnp.ndarray  # (N, 3, 3) affine velocity field (APIC)
-    F: jnp.ndarray  # (N, 3, 3) deformation gradient
+    SoA/component-major layout: the particle axis is MINOR so TPU (8, 128)
+    lane tiling packs fully (trailing (N, 3) layouts pad 3 -> 128 lanes =
+    42x HBM traffic; see core/mat3.py)."""
+
+    x: jnp.ndarray  # (3, N) position
+    v: jnp.ndarray  # (3, N) velocity
+    C: jnp.ndarray  # (9, N) affine velocity field (APIC), row-major
+    F: jnp.ndarray  # (9, N) deformation gradient, row-major
     used: jnp.ndarray  # (N,) bool activation mask (particles_ng.used)
 
 
@@ -50,11 +54,12 @@ class EffectorState:
 
 @struct.dataclass
 class SmokeState:
-    """Eulerian smoke state (reference smoke_field.py:62-68).  ``v_tmp`` and
-    ``div`` are substep intermediates, not state; only v, q, p persist."""
+    """Eulerian smoke state (reference smoke_field.py:62-68).  ``v_tmp``
+    and ``div`` are substep intermediates, not state; only v, q, p
+    persist.  Channel-major layout (lane-packed scalar grids)."""
 
-    v: jnp.ndarray  # (R, R, R, 3)
-    q: jnp.ndarray  # (R, R, R, q_dim)
+    v: jnp.ndarray  # (3, R, R, R)
+    q: jnp.ndarray  # (q_dim, R, R, R)
     p: jnp.ndarray  # (R, R, R) pressure (warm start for Jacobi)
 
 

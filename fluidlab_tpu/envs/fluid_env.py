@@ -124,8 +124,8 @@ class FluidEnv(gym.Env):
         state = self.sim.state
         obs = []
         if state.particles is not None and self.sim.particles is not None:
-            x = np.asarray(state.particles.x)
-            v = np.asarray(state.particles.v)
+            x = np.asarray(state.particles.x).T  # (N, 3)
+            v = np.asarray(state.particles.v).T
             used = np.asarray(state.particles.used)
             for body_id in range(self.sim.particles["bodies"]["n"]):
                 ids = self.sim.particles["bodies"]["particle_ids"][body_id]
@@ -138,8 +138,8 @@ class FluidEnv(gym.Env):
             obs += [np.asarray(eff.pos), np.asarray(eff.quat)]
         if state.smoke is not None:
             obs += [
-                np.asarray(state.smoke.v)[::10, 60:68, ::10].ravel(),
-                np.asarray(state.smoke.q)[::10, 60:68, ::10].ravel(),
+                np.asarray(state.smoke.v)[:, ::10, 60:68, ::10].ravel(),
+                np.asarray(state.smoke.q)[:, ::10, 60:68, ::10].ravel(),
             ]
         return np.concatenate([np.asarray(o, np.float32).ravel() for o in obs])
 

@@ -27,14 +27,16 @@ class ShapeMatchingLoss(Loss):
         super().build(sim)
 
     def load_target(self, path):
-        """Target pkl: {'x': [(N,3)]*H, 'used': [(N,)]*H, 'mat': (N,)}
-        (reference recorder.py:26-62, shapematching_loss.py:52-57)."""
+        """Target pkl: {'x': [(3, N)]*H, 'used': [(N,)]*H, 'mat': (N,)}
+        (reference recorder.py:26-62, shapematching_loss.py:52-57; SoA
+        layout)."""
         with open(path, "rb") as f:
             self.target = pkl.load(f)
         assert self.max_loss_steps == len(self.target["x"])
-        self._tgt_x = jnp.asarray(
-            np.stack(self.target["x"]).astype(np.float32)
-        )  # (H, N, 3)
+        tgt = np.stack(self.target["x"]).astype(np.float32)
+        if tgt.shape[1] != 3:  # legacy (H, N, 3) targets
+            tgt = tgt.transpose(0, 2, 1)
+        self._tgt_x = jnp.asarray(tgt)  # (H, 3, N)
 
     def loss_aux(self):
         if self.target is None:
@@ -42,9 +44,9 @@ class ShapeMatchingLoss(Loss):
         return self._tgt_x
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         used = state.particles.used
         match = used & (params.p_mat == self.matching_mat)
-        d2 = jnp.sum((x - aux_t) ** 2, axis=-1)
+        d2 = jnp.sum((x - aux_t) ** 2, axis=0)
         chamfer = jnp.sum(jnp.where(match, d2, 0.0))
         return {"step_loss": chamfer * self.chamfer_weight}

@@ -55,9 +55,9 @@ class LatteArtStirLoss(ShapeMatchingLoss):
             )
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         used = state.particles.used
-        d2 = jnp.sum((x - aux_t) ** 2, axis=-1)
+        d2 = jnp.sum((x - aux_t) ** 2, axis=0)
         chamfer_all = jnp.sum(jnp.where(used, d2, 0.0))
         milk = used & (params.p_mat == self.matching_mat)
         chamfer_milk = jnp.sum(jnp.where(milk, d2, 0.0))
@@ -144,9 +144,9 @@ class GatheringEasyLoss(Loss):
         super().build(sim)
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         match = state.particles.used & (params.p_mat == self.matching_mat)
-        dist = jnp.sum(jnp.where(match, jnp.abs(x[:, 0] - 0.8), 0.0))
+        dist = jnp.sum(jnp.where(match, jnp.abs(x[0] - 0.8), 0.0))
         return {"step_loss": dist * self.dist_weight}
 
 
@@ -158,9 +158,9 @@ class GatheringOLoss(GatheringEasyLoss):
     reward_offset = 65.0
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         match = state.particles.used & (params.p_mat == self.matching_mat)
-        d = (x[:, 0] - 0.88) ** 2 + (x[:, 2] - 0.78) ** 2
+        d = (x[0] - 0.88) ** 2 + (x[2] - 0.78) ** 2
         dist = jnp.sum(jnp.where(match, d, 0.0))
         return {"step_loss": dist * self.dist_weight}
 
@@ -196,17 +196,17 @@ class PouringLoss(Loss):
         self.dist_weight = self.weights.get("dist", 1.0)
         self.attraction_weight = self.weights.get("attraction", 0.0)
         super().build(sim)
-        x0 = np.asarray(sim.init_state.particles.x)
+        x0 = np.asarray(sim.init_state.particles.x)  # (3, N)
         self.init_particle_pos = jnp.asarray(x0)
-        n = x0.shape[0]
+        n = x0.shape[1]
         self.best_particle_pos = jnp.zeros(3, jnp.float32)
         self.attraction_score = jnp.full((n,), 10**6, jnp.int32)
         self.attraction_scale = jnp.zeros((), jnp.float32)
 
     def update_attraction_from_state(self, x, used, mat):
         """Host-side best-particle selection (reference :102-121), fed by
-        the previous iteration's final state."""
-        x = np.asarray(x)
+        the previous iteration's final state.  x: (3, N) SoA."""
+        x = np.asarray(x).T  # (N, 3)
         used = np.asarray(used)
         loss = np.abs(x[:, 1] - 0.05)
         loss[~used] = 1000.0
@@ -231,17 +231,17 @@ class PouringLoss(Loss):
         return jnp.asarray(flags)
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         used = state.particles.used
         water = params.p_mat == M.WATER
         milk = params.p_mat == M.MILK
         dist = jnp.sum(
             jnp.where(
-                used & water, jnp.abs(x[:, 1] - 0.05) * self.dist_scale, 0.0
+                used & water, jnp.abs(x[1] - 0.05) * self.dist_scale, 0.0
             )
         ) + jnp.sum(
             jnp.where(
-                (used & milk)[:, None],
+                (used & milk)[None, :],
                 jnp.abs(x - self.init_particle_pos),
                 0.0,
             )
@@ -252,8 +252,8 @@ class PouringLoss(Loss):
             attraction = (
                 jnp.sum(
                     jnp.where(
-                        near[:, None],
-                        jnp.abs(x - self.best_particle_pos),
+                        near[None, :],
+                        jnp.abs(x - self.best_particle_pos[:, None]),
                         0.0,
                     )
                 )
@@ -284,28 +284,21 @@ class TransportingLoss(Loss):
         self._obj_mask = jnp.asarray(mat == M.RIGID_HEAVY)
 
     def loss_fn(self, state, params, aux_t):
-        x = state.particles.x
+        x = state.particles.x  # (3, N)
         used = state.particles.used
-        dist = jnp.sum(jnp.where(self._obj_mask, jnp.abs(x[:, 0] - 0.9), 0.0))
+        dist = jnp.sum(jnp.where(self._obj_mask, jnp.abs(x[0] - 0.9), 0.0))
         step = dist * self.dist_weight
         if self.type == "diff":
-            # O(N*M) pairwise |dx|+|dy|+|dz|: decompose sum_{p,q}|x_p - x_q|
-            # exactly is not separable, but M (cube particles) is small and
-            # the reference loops all pairs; we subsample the object set is
-            # NOT needed — do the exact pairwise sum via broadcasting over
-            # the object particles (M ~ couple hundred).
-            obj_x = x  # (N, 3); masked below
+            # O(N*Mo) pairwise L1 attraction (reference :99-102); the
+            # object cube is small, gather its particles
             wmask = (used & self._water_mask).astype(x.dtype)
-            omask = self._obj_mask.astype(x.dtype)
-            # sum_p w_p sum_q o_q |x_p - x_q| = einsum over pairwise L1
-            # computed blockwise: (N, M') would be huge; instead use the
-            # identity per axis with sorting-free approximation is inexact.
-            # The object is a small cube: gather its particles.
             (obj_idx,) = jnp.nonzero(
                 self._obj_mask, size=self._obj_count(), fill_value=0
             )
-            xo = obj_x[obj_idx]  # (Mo, 3)
-            diff = jnp.abs(x[:, None, :] - xo[None, :, :]).sum(-1)  # (N, Mo)
+            xo = x[:, obj_idx]  # (3, Mo)
+            diff = sum(
+                jnp.abs(x[d][:, None] - xo[d][None, :]) for d in range(3)
+            )  # (N, Mo)
             attraction = jnp.sum(diff * wmask[:, None]) * 1e-4
             step = step + attraction
         return {"step_loss": step}
@@ -350,8 +343,10 @@ class MixingLoss(Loss):
 
     def loss_fn(self, state, params, aux_t):
         n = self.n_particles_milk
-        x = state.particles.x[:n]
-        diff = jnp.abs(x[:, None, :] - x[None, :, :]).sum(-1)
+        x = state.particles.x[:, :n]  # (3, n)
+        diff = sum(
+            jnp.abs(x[d][:, None] - x[d][None, :]) for d in range(3)
+        )
         return {"step_loss": -jnp.sum(diff) * 1e-4 * self.dist_weight}
 
 
@@ -397,9 +392,9 @@ class CirculationLoss(Loss):
         pass
 
     def loss_fn(self, state, params, aux_t):
-        q = state.smoke.q  # (R, R, R, q_dim)
+        q = state.smoke.q  # (q_dim, R, R, R)
         d = self._det
-        vals = q[d[:, 0], d[:, 1], d[:, 2], 0]
+        vals = q[0, d[:, 0], d[:, 1], d[:, 2]]
         temp = jnp.sum(jnp.abs(vals - self._targets))
         return {"step_loss": temp * self.temp_weight}
 

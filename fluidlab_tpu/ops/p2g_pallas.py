@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.bspline import STENCIL
-from fluidlab_tpu.core.mat3 import matvec3
+from fluidlab_tpu.core.mat3 import mv_soa
 
 BLOCK = 16       # cells per block edge (64 blocks at G=64: amortizes
                  # per-program overhead; MXU waste still modest)
@@ -168,37 +168,39 @@ def _accumulate_blocks(packed, starts, nb: int):
 def _overlap_add(blocks, nb: int, G: int):
     """(NB^3, R2PAD, WCOLS) halo accumulators -> (G^3, CPAD) grid via 8
     static slice-adds."""
+    # channel-major throughout: (C, nb, nb, nb, R, R, R)
     r = blocks[:, :R2, :].reshape(
         nb, nb, nb, REGION, REGION, REGION, CPAD
-    )
+    ).transpose(6, 0, 1, 2, 3, 4, 5)
     # halo parts are zero-padded to BLOCK extent before the flatten, so
     # the target must leave room for a full extra block per axis
-    big = jnp.zeros((G + BLOCK, G + BLOCK, G + BLOCK, CPAD), jnp.float32)
+    big = jnp.zeros((CPAD, G + BLOCK, G + BLOCK, G + BLOCK), jnp.float32)
     for qa in (0, 1):
         for qb in (0, 1):
             for qc in (0, 1):
                 sa = slice(0, BLOCK) if qa == 0 else slice(BLOCK, REGION)
                 sb = slice(0, BLOCK) if qb == 0 else slice(BLOCK, REGION)
                 sc = slice(0, BLOCK) if qc == 0 else slice(BLOCK, REGION)
-                part = r[:, :, :, sa, sb, sc, :]
+                part = r[:, :, :, :, sa, sb, sc]
                 ea = BLOCK if qa == 0 else HALO
                 eb = BLOCK if qb == 0 else HALO
                 ec = BLOCK if qc == 0 else HALO
                 part = jnp.pad(
                     part,
-                    ((0, 0), (0, 0), (0, 0), (0, BLOCK - ea),
-                     (0, BLOCK - eb), (0, BLOCK - ec), (0, 0)),
+                    ((0, 0), (0, 0), (0, 0), (0, 0), (0, BLOCK - ea),
+                     (0, BLOCK - eb), (0, BLOCK - ec)),
                 )
-                flat = part.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-                    nb * BLOCK, nb * BLOCK, nb * BLOCK, CPAD
+                flat = part.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+                    CPAD, nb * BLOCK, nb * BLOCK, nb * BLOCK
                 )
                 oa, ob, oc = qa * BLOCK, qb * BLOCK, qc * BLOCK
                 big = big.at[
+                    :,
                     oa: oa + nb * BLOCK,
                     ob: ob + nb * BLOCK,
                     oc: oc + nb * BLOCK,
                 ].add(flat)
-    return big[:G, :G, :G].reshape(G * G * G, CPAD)
+    return big[:, :G, :G, :G].reshape(CPAD, G * G * G)
 
 
 # ----------------------------------------------------------- the public op
@@ -211,31 +213,32 @@ def _p2g_core(w, lbase_global, feats, G: int, interpret: bool):
 
 
 def _p2g_core_impl(w, lbase_global, feats, G, interpret):
-    N = w.shape[0]
+    """w (3 off, 3 ax, N), lbase_global (3, N) int32, feats (13, N)."""
+    N = w.shape[-1]
     nb = G // BLOCK
-    block = lbase_global // BLOCK  # (N, 3)
-    block_id = (block[:, 0] * nb + block[:, 1]) * nb + block[:, 2]
+    block = lbase_global // BLOCK  # (3, N)
+    block_id = (block[0] * nb + block[1]) * nb + block[2]
     order = jnp.argsort(block_id)
     sorted_bid = block_id[order]
     starts = jnp.searchsorted(
         sorted_bid, jnp.arange(nb * nb * nb + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    lb = (lbase_global - block * BLOCK)[order].astype(jnp.float32)
-    # double-buffered DMA prefetches one chunk ahead: pad 2 chunks
-    packed = jnp.zeros((N + 2 * CHUNK, PACK), jnp.float32)
-    packed = packed.at[:N, 0:3].set(w[order, :, 0])
-    packed = packed.at[:N, 3:6].set(w[order, :, 1])
-    packed = packed.at[:N, 6:9].set(w[order, :, 2])
-    packed = packed.at[:N, 9:12].set(lb)
-    packed = packed.at[:N, 12:25].set(feats[order])
+    lb = (lbase_global - block * BLOCK).astype(jnp.float32)  # (3, N)
+    # assemble rows lane-packed (25, N), permute on the minor axis, pad to
+    # PACK rows, and transpose ONCE into the kernel's (Npad, PACK) layout
+    rows = jnp.concatenate(
+        [w[:, 0], w[:, 1], w[:, 2], lb, feats], axis=0
+    )[:, order]  # (25, N)
+    rows = jnp.pad(rows, ((0, PACK - 25), (0, 2 * CHUNK)))
+    packed = rows.T  # (N + 2*CHUNK, PACK)
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             blocks = _accumulate_blocks(packed, starts, nb)
     else:
         blocks = _accumulate_blocks(packed, starts, nb)
-    return _overlap_add(blocks, nb, G)[:, :13]
+    return _overlap_add(blocks, nb, G)[:13]
 
 
 def _p2g_core_fwd(w, lbase_global, feats, G, interpret):
@@ -246,27 +249,22 @@ def _p2g_core_fwd(w, lbase_global, feats, G, interpret):
 def _p2g_core_bwd(G, interpret, res, gbar):
     """Transpose: 27-point gathers of the grid cotangent (fast XLA)."""
     w, lbase, feats = res
-    gb = gbar  # (G^3, 13)
+    gb = gbar  # (13, G^3)
     d_w = jnp.zeros_like(w)
     d_feats = jnp.zeros_like(feats)
-    e = []
-    gcell = []
     for (oi, oj, ok) in [tuple(int(v) for v in o) for o in STENCIL]:
         idx = (
-            (lbase[:, 0] + oi) * (G * G)
-            + (lbase[:, 1] + oj) * G
-            + (lbase[:, 2] + ok)
+            (lbase[0] + oi) * (G * G)
+            + (lbase[1] + oj) * G
+            + (lbase[2] + ok)
         )
-        gc = gb[idx]  # (N, 13)
-        gcell.append((oi, oj, ok, gc))
-        e.append(jnp.sum(gc * feats, axis=-1))
-
-    for k, (oi, oj, ok, gc) in enumerate(gcell):
-        wprod = w[:, oi, 0] * w[:, oj, 1] * w[:, ok, 2]
-        d_feats = d_feats + wprod[:, None] * gc
-        d_w = d_w.at[:, oi, 0].add(w[:, oj, 1] * w[:, ok, 2] * e[k])
-        d_w = d_w.at[:, oj, 1].add(w[:, oi, 0] * w[:, ok, 2] * e[k])
-        d_w = d_w.at[:, ok, 2].add(w[:, oi, 0] * w[:, oj, 1] * e[k])
+        gc = gb[:, idx]  # (13, N)
+        e = jnp.sum(gc * feats, axis=0)  # (N,)
+        wprod = w[oi, 0] * w[oj, 1] * w[ok, 2]
+        d_feats = d_feats + wprod[None, :] * gc
+        d_w = d_w.at[oi, 0].add(w[oj, 1] * w[ok, 2] * e)
+        d_w = d_w.at[oj, 1].add(w[oi, 0] * w[ok, 2] * e)
+        d_w = d_w.at[ok, 2].add(w[oi, 0] * w[oj, 1] * e)
     return d_w, None, d_feats
 
 
@@ -274,24 +272,28 @@ _p2g_core.defvjp(_p2g_core_fwd, _p2g_core_bwd)
 
 
 def p2g_pallas(base, fx, w, usedf, mass, v, affine, G, dx, interpret=False):
-    """Drop-in P2G (ops/p2g.py interface) via the block-binned kernel."""
-    N = base.shape[0]
+    """Drop-in P2G (ops/p2g.py SoA interface) via the block-binned kernel.
+    base/fx (3, N), w (3, 3, N), v (3, N), affine (9, N) -> (4, G^3)."""
     x_p = (base.astype(v.dtype) + fx) * dx
-    b = mass[:, None] * v - matvec3(affine, x_p)
+    Ax = mv_soa(affine, x_p)
+    b = jnp.stack([mass * v[i] - Ax[i] for i in range(3)])
     feats = jnp.concatenate(
-        [b, affine.reshape(N, 9), mass[:, None]], axis=-1
-    ) * usedf[:, None]
+        [b, affine, mass[None, :]], axis=0
+    ) * usedf[None, :]  # (13, N)
 
-    grid13 = _p2g_core(w, base, feats, G, interpret)
+    grid13 = _p2g_core(w, base, feats, G, interpret)  # (13, G^3)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
-    x_cell = (
-        jnp.stack([ii, jj, kk], -1).reshape(G * G * G, 3).astype(v.dtype) * dx
-    )
-    mom = grid13[:, :3] + matvec3(grid13[:, 3:12].reshape(-1, 3, 3), x_cell)
-    return jnp.concatenate([mom, grid13[:, 12:13]], axis=-1)
+    x_cell = jnp.stack(
+        [ii.reshape(-1), jj.reshape(-1), kk.reshape(-1)]
+    ).astype(v.dtype) * dx  # (3, G^3)
+    mom = jnp.stack([
+        grid13[i] + sum(grid13[3 + 3 * i + k] * x_cell[k] for k in range(3))
+        for i in range(3)
+    ])
+    return jnp.concatenate([mom, grid13[12:13]], axis=0)
 
 
 def p2g_pallas_interpret(base, fx, w, usedf, mass, v, affine, G, dx):

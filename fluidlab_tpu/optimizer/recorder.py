@@ -38,7 +38,7 @@ class Recorder:
             sim.step(action)
             if self.target_file is not None:
                 target["x"].append(
-                    np.asarray(sim.state.particles.x, np.float32)
+                    np.asarray(sim.state.particles.x, np.float32)  # (3, N)
                 )
                 target["used"].append(
                     np.asarray(sim.state.particles.used).astype(np.int32)
@@ -59,10 +59,12 @@ class Recorder:
         sim = self.env.sim
         frames = []
         for i in range(self.env.horizon):
+            xt = np.asarray(target["x"][i])
+            if xt.shape[0] != 3:  # legacy (N, 3) targets
+                xt = xt.T
             sim.state = sim.state.replace(
                 particles=sim.state.particles.replace(
-                    x=np.asarray(target["x"][i]),
-                    used=np.asarray(target["used"][i]).astype(bool),
+                    x=xt, used=np.asarray(target["used"][i]).astype(bool),
                 )
             )
             if render and sim.renderer is not None:

@@ -130,7 +130,7 @@ class NativeRenderer:
         W, H = self.res
         if sim.state.particles is not None:
             x = np.ascontiguousarray(
-                np.asarray(sim.state.particles.x, np.float32)
+                np.asarray(sim.state.particles.x, np.float32).T
             )
             used = np.ascontiguousarray(
                 np.asarray(sim.state.particles.used).astype(np.uint8)
@@ -161,7 +161,7 @@ class NativeRenderer:
         if sim.state.smoke is not None:
             # visualize the hot slab as translucent points (reference
             # smoke colorize, smoke_field.py:291-299)
-            q = np.asarray(sim.state.smoke.q)[..., 0]
+            q = np.asarray(sim.state.smoke.q)[0]
             R = q.shape[0]
             stride = max(1, R // 32)
             sub = q[::stride, ::stride, ::stride]

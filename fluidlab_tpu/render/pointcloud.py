@@ -54,7 +54,7 @@ class PointRenderer:
         zbuf = np.full((H, W), np.inf)
 
         if sim.state.particles is not None:
-            x = np.asarray(sim.state.particles.x)
+            x = np.asarray(sim.state.particles.x).T  # (N, 3)
             used = np.asarray(sim.state.particles.used)
             R, cam = self._view_matrix()
             pts = (x[used] - cam) @ R.T

@@ -20,8 +20,8 @@ def liquid_block_scene(n_particles=65536, horizon=10, seed=0,
     cfg = SimCfg(n_particles=n_particles, n_bodies=1, horizon=horizon,
                  gravity=gravity)
     rng = np.random.default_rng(seed)
-    x = rng.uniform(0.2, 0.8, size=(n_particles, 3)).astype(np.float32)
-    x[:, 1] = rng.uniform(0.3, 0.7, size=n_particles)
+    x = rng.uniform(0.2, 0.8, size=(3, n_particles)).astype(np.float32)
+    x[1] = rng.uniform(0.3, 0.7, size=n_particles)
     mat = np.full(n_particles, M.WATER, dtype=np.int32)
     rho = np.full(n_particles, M.RHO[M.WATER], dtype=np.float32)
     body = np.zeros(n_particles, dtype=np.int32)
@@ -29,11 +29,9 @@ def liquid_block_scene(n_particles=65536, horizon=10, seed=0,
     state = SimState(
         particles=ParticleState(
             x=jnp.asarray(x),
-            v=jnp.zeros((n_particles, 3), jnp.float32),
-            C=jnp.zeros((n_particles, 3, 3), jnp.float32),
-            F=jnp.broadcast_to(
-                jnp.eye(3, dtype=jnp.float32), (n_particles, 3, 3)
-            ),
+            v=jnp.zeros((3, n_particles), jnp.float32),
+            C=jnp.zeros((9, n_particles), jnp.float32),
+            F=jnp.asarray(_eye9(n_particles)),
             used=jnp.ones((n_particles,), bool),
         ),
         effectors=(),
@@ -43,12 +41,18 @@ def liquid_block_scene(n_particles=65536, horizon=10, seed=0,
     return cfg, params, state
 
 
+def _eye9(n):
+    F0 = np.zeros((9, n), np.float32)
+    F0[[0, 4, 8]] = 1.0
+    return F0
+
+
 class MeanHeightLoss(Loss):
     """Trivial differentiable objective for harness scenes: mean particle
     height (drives a gradient through the whole rollout)."""
 
     def loss_fn(self, state, params, aux_t):
-        return {"step_loss": jnp.mean(state.particles.x[:, 1])}
+        return {"step_loss": jnp.mean(state.particles.x[1])}
 
 
 class _BenchSim:
@@ -93,7 +97,7 @@ def liquid_agent_scene(n_particles=4096, horizon=4, seed=0):
     cfg = SimCfg(n_particles=n_particles, n_bodies=1, horizon=horizon,
                  agent=agent)
     rng = np.random.default_rng(seed)
-    x = rng.uniform(0.4, 0.6, size=(n_particles, 3)).astype(np.float32)
+    x = rng.uniform(0.4, 0.6, size=(3, n_particles)).astype(np.float32)
     mat = np.full(n_particles, M.WATER, dtype=np.int32)
     rho = np.full(n_particles, 1.0, dtype=np.float32)
     body = np.zeros(n_particles, dtype=np.int32)
@@ -106,11 +110,9 @@ def liquid_agent_scene(n_particles=4096, horizon=4, seed=0):
     state = SimState(
         particles=ParticleState(
             x=jnp.asarray(x),
-            v=jnp.zeros((n_particles, 3), jnp.float32),
-            C=jnp.zeros((n_particles, 3, 3), jnp.float32),
-            F=jnp.broadcast_to(
-                jnp.eye(3, dtype=jnp.float32), (n_particles, 3, 3)
-            ),
+            v=jnp.zeros((3, n_particles), jnp.float32),
+            C=jnp.zeros((9, n_particles), jnp.float32),
+            F=jnp.asarray(_eye9(n_particles)),
             used=jnp.ones((n_particles,), bool),
         ),
         effectors=(init_effector_state((0.35, 0.5, 0.5), (1, 0, 0, 0)),),

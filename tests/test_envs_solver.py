@@ -66,7 +66,7 @@ class TestRecordAndSolve:
         with open(recorded_env.target_file, "rb") as f:
             target = pkl.load(f)
         assert len(target["x"]) == recorded_env.horizon
-        assert target["x"][0].shape == (recorded_env.sim.cfg.n_particles, 3)
+        assert target["x"][0].shape == (3, recorded_env.sim.cfg.n_particles)
         # demo policy injected milk: used count grows over the recording
         assert target["used"][-1].sum() > target["used"][0].sum()
 

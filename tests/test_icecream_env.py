@@ -47,7 +47,7 @@ class TestIceCreamDynamic:
         used = np.asarray(env.sim.state.particles.used)
         # flux=10/substep, 30 substeps
         assert used.sum() == 300
-        x = np.asarray(env.sim.state.particles.x)[used]
+        x = np.asarray(env.sim.state.particles.x).T[used]
         # injected within radius 0.035 of the injector (0.5, 0.8, 0.5),
         # plus a little fall
         d = np.linalg.norm(x - np.array([0.5, 0.8, 0.5]), axis=1)

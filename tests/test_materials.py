@@ -21,19 +21,23 @@ def build_scene(mat_id, n=512, gravity=(0.0, -10.0, 0.0), horizon=20,
     cfg = SimCfg(n_particles=n, n_bodies=1, horizon=horizon, gravity=gravity,
                  has_rigid_bodies=(M.MAT_CLASS_TABLE[mat_id] == M.MAT_RIGID))
     rng = np.random.default_rng(seed)
-    x = rng.uniform(lower, upper, size=(n, 3)).astype(np.float32)
+    x = rng.uniform(lower, upper, size=(3, n)).astype(np.float32)
     if y_range is not None:
-        x[:, 1] = rng.uniform(y_range[0], y_range[1], size=n)
+        x[1] = rng.uniform(y_range[0], y_range[1], size=n)
     mat = np.full(n, mat_id, dtype=np.int32)
     rho = np.full(n, M.RHO[mat_id], dtype=np.float32)
     body = np.zeros(n, dtype=np.int32)
     params = SceneParams(**particle_params_from_properties(mat, rho, body, cfg))
-    v = np.zeros((n, 3), np.float32) if v0 is None else np.tile(v0, (n, 1))
+    v = np.zeros((3, n), np.float32) if v0 is None else np.tile(
+        np.asarray(v0, np.float32)[:, None], (1, n)
+    )
+    F0 = np.zeros((9, n), np.float32)
+    F0[[0, 4, 8]] = 1.0
     state = SimState(
         particles=ParticleState(
             x=jnp.asarray(x), v=jnp.asarray(v.astype(np.float32)),
-            C=jnp.zeros((n, 3, 3), jnp.float32),
-            F=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+            C=jnp.zeros((9, n), jnp.float32),
+            F=jnp.asarray(F0),
             used=jnp.ones((n,), bool),
         ),
         effectors=(), smoke=None, f_global=jnp.zeros((), jnp.int32),
@@ -56,8 +60,10 @@ class TestElastic:
                                          lower=0.35, upper=0.55,
                                          y_range=(0.06, 0.26))
         final = run(cfg, params, state, 60)
-        F = np.asarray(final.particles.F)
-        dev = np.abs(F - np.eye(3)).max()
+        F = np.asarray(final.particles.F)  # (9, N)
+        eye = np.zeros((9, 1), np.float32)
+        eye[[0, 4, 8]] = 1.0
+        dev = np.abs(F - eye).max()
         assert np.isfinite(F).all()
         assert dev > 1e-3  # strained on impact
 
@@ -69,12 +75,12 @@ class TestElastic:
             horizon=10,
         )
         final = run(cfg, params, state, 10)
-        v = np.asarray(final.particles.v)
-        np.testing.assert_allclose(v.mean(0), [0.2, 0, 0], atol=1e-3)
+        v = np.asarray(final.particles.v)  # (3, N)
+        np.testing.assert_allclose(v.mean(1), [0.2, 0, 0], atol=1e-3)
         # traveled ~ v * t = 0.2 * 10 steps * 2ms = 0.004
-        dx = np.asarray(final.particles.x).mean(0) - np.asarray(
+        dx = np.asarray(final.particles.x).mean(1) - np.asarray(
             state.particles.x
-        ).mean(0)
+        ).mean(1)
         np.testing.assert_allclose(dx, [0.004, 0, 0], atol=5e-4)
 
 
@@ -85,9 +91,9 @@ class TestPlastic:
         cfg, params, state = build_scene(M.ICECREAM, horizon=80,
                                          lower=0.35, upper=0.55)
         final = run(cfg, params, state, 80)
-        from fluidlab_tpu.core.svd3 import svd3_nograd
+        from fluidlab_tpu.core.svd3 import svd3_soa
 
-        _, s, _ = svd3_nograd(final.particles.F)
+        _, s, _ = svd3_soa(final.particles.F)
         s = np.abs(np.asarray(s))
         assert s.max() <= 1.0 + 3e-3 + 1e-4
         assert s.min() >= 1.0 - 2e-3 - 1e-4
@@ -99,9 +105,9 @@ class TestRigid:
         cfg, params, state = build_scene(
             M.RIGID, n=256, horizon=50, lower=0.4, upper=0.5
         )
-        x0 = np.asarray(state.particles.x)
+        x0 = np.asarray(state.particles.x).T  # (N, 3)
         final = run(cfg, params, state, 50)
-        x1 = np.asarray(final.particles.x)
+        x1 = np.asarray(final.particles.x).T
         # fell
         assert x1[:, 1].mean() < x0[:, 1].mean() - 0.002
         # distances preserved (sample pairs)
@@ -122,7 +128,7 @@ class TestLiquidVsViscous:
                 y_range=(0.06, 0.3),
             )
             final = run(cfg, params, state, 150)
-            x = np.asarray(final.particles.x)
-            return x[:, [0, 2]].std()
+            x = np.asarray(final.particles.x)  # (3, N)
+            return x[[0, 2]].std()
 
         assert spread(M.WATER) > spread(M.MILK_VIS) * 1.02

@@ -21,17 +21,19 @@ def build_liquid_scene(n=512, seed=0, lower=0.4, upper=0.6, horizon=20):
     cfg = SimCfg(n_particles=n, n_bodies=1, horizon=horizon,
                  gravity=(0.0, -10.0, 0.0))
     rng = np.random.default_rng(seed)
-    x = rng.uniform(lower, upper, size=(n, 3)).astype(np.float32)
+    x = rng.uniform(lower, upper, size=(3, n)).astype(np.float32)
     mat = np.full(n, M.WATER, dtype=np.int32)
     rho = np.full(n, M.RHO[M.WATER], dtype=np.float32)
     body = np.zeros(n, dtype=np.int32)
     params = SceneParams(**particle_params_from_properties(mat, rho, body, cfg))
+    F0 = np.zeros((9, n), np.float32)
+    F0[[0, 4, 8]] = 1.0
     state = SimState(
         particles=ParticleState(
             x=jnp.asarray(x),
-            v=jnp.zeros((n, 3), jnp.float32),
-            C=jnp.zeros((n, 3, 3), jnp.float32),
-            F=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+            v=jnp.zeros((3, n), jnp.float32),
+            C=jnp.zeros((9, n), jnp.float32),
+            F=jnp.asarray(F0),
             used=jnp.ones((n,), bool),
         ),
         effectors=(),
@@ -57,8 +59,8 @@ class TestLiquidFall:
 
     def test_falls_under_gravity(self, result):
         _, state0, final = result
-        y0 = float(jnp.mean(state0.particles.x[:, 1]))
-        y1 = float(jnp.mean(final.particles.x[:, 1]))
+        y0 = float(jnp.mean(state0.particles.x[1]))
+        y1 = float(jnp.mean(final.particles.x[1]))
         # 30 steps = 60 ms of free fall at g=10 -> drop ~1.8 cm before
         # contact; must have dropped measurably
         assert y1 < y0 - 0.01
@@ -76,10 +78,9 @@ class TestLiquidFall:
     def test_liquid_F_is_isotropic(self, result):
         # liquid F is reset to J^(1/3) I every substep (reference :358-359)
         _, _, final = result
-        F = np.asarray(final.particles.F)
-        off_diag = F - np.eye(3) * F[:, :1, :1]
-        assert np.abs(F[:, 0, 1]).max() < 1e-6
-        assert np.abs(F[:, 0, 0] - F[:, 1, 1]).max() < 1e-6
+        F = np.asarray(final.particles.F)  # (9, N) row-major
+        assert np.abs(F[1]).max() < 1e-6  # off-diagonal
+        assert np.abs(F[0] - F[4]).max() < 1e-6  # isotropic diagonal
 
 
 class TestGradients:
@@ -92,11 +93,11 @@ class TestGradients:
         def loss(vy):
             st = state.replace(
                 particles=state.particles.replace(
-                    v=state.particles.v.at[:, 1].set(vy)
+                    v=state.particles.v.at[1].set(vy)
                 )
             )
             final, _ = rollout(st, params, actions)
-            return jnp.mean(final.particles.x[:, 1])
+            return jnp.mean(final.particles.x[1])
 
         loss_j = jax.jit(loss)
         g = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
@@ -119,11 +120,11 @@ class TestGradients:
             def loss(vy):
                 st = state.replace(
                     particles=state.particles.replace(
-                        v=state.particles.v.at[:, 1].set(vy)
+                        v=state.particles.v.at[1].set(vy)
                     )
                 )
                 final, _ = rollout(st, params, actions)
-                return jnp.mean(final.particles.x[:, 1])
+                return jnp.mean(final.particles.x[1])
 
             return loss
 

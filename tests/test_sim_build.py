@@ -63,7 +63,7 @@ class TestLatteArtLike:
         return build_latteart_like()
 
     def test_build_shapes(self, sim):
-        assert sim.cfg.n_particles == sim.init_state.particles.x.shape[0]
+        assert sim.cfg.n_particles == sim.init_state.particles.x.shape[-1]
         assert sim.cfg.n_bodies == 2
         assert sim.action_dim == 3
         # milk pool initially unused
@@ -81,7 +81,7 @@ class TestLatteArtLike:
         # flux=2 per substep, 10 substeps per step, 2 steps = 40 particles
         assert used1 - used0 == 40
         # injected particles near the injector
-        x = np.asarray(sim.state.particles.x)
+        x = np.asarray(sim.state.particles.x).T  # (N, 3)
         used = np.asarray(sim.state.particles.used)
         mat = np.asarray(sim.params.p_mat)
         milk_used = used & (mat == M.MILK)
@@ -108,7 +108,7 @@ class TestLatteArtLike:
         sim.reset()
         for _ in range(4):
             sim.step(np.zeros(3, np.float32))
-        x = np.asarray(sim.state.particles.x)
+        x = np.asarray(sim.state.particles.x).T
         used = np.asarray(sim.state.particles.used)
         r = np.linalg.norm(x[used][:, [0, 2]] - 0.5, axis=1)
         # grid-node velocity clamping lets particles settle up to ~1 cell
@@ -151,7 +151,7 @@ class TestRigidAgent:
             material=M.WATER,
         )
         sim.build()
-        x0 = np.asarray(sim.state.particles.x).copy()
+        x0 = np.asarray(sim.state.particles.x).T.copy()
         vx0 = float(np.abs(np.asarray(sim.state.particles.v)).max())
         for _ in range(6):
             sim.step(np.array([0.05, 0.0, 0.0], np.float32))
@@ -194,14 +194,14 @@ class TestCollector:
         sim.build()
         used0 = int(np.asarray(sim.state.particles.used).sum())
         below0 = int(
-            (np.asarray(sim.state.particles.x)[:, 1] < 0.4).sum()
+            (np.asarray(sim.state.particles.x)[1] < 0.4).sum()
         )
         assert below0 > 0
         for _ in range(2):
             sim.step(np.zeros(6, np.float32))
         used1 = int(np.asarray(sim.state.particles.used).sum())
         assert used1 <= used0 - below0  # the below-boundary part collected
-        x = np.asarray(sim.state.particles.x)
+        x = np.asarray(sim.state.particles.x).T
         gone = ~np.asarray(sim.state.particles.used)
         assert np.allclose(x[gone], -100.0)
 
@@ -223,7 +223,7 @@ class TestReproducibility:
             sim.build()
             for _ in range(3):
                 sim.step(None)
-            return np.asarray(sim.state.particles.x)
+            return np.asarray(sim.state.particles.x)  # (3, N)
 
         x1 = build_and_run()
         x2 = build_and_run()

@@ -68,8 +68,8 @@ class TestSmoke:
     def test_velocity_zero_outside_free(self, stepped):
         cfg, params, _, s = stepped
         free = np.asarray(params.smoke_free)
-        v = np.asarray(s.smoke.v)
-        assert np.abs(v[~free]).max() == 0.0
+        v = np.asarray(s.smoke.v)  # (3, R, R, R)
+        assert np.abs(v[:, ~free]).max() == 0.0
 
     def test_projection_reduces_divergence(self):
         """After pressure projection the free-space central-difference
@@ -78,28 +78,28 @@ class TestSmoke:
         step = jax.jit(make_smoke_step(cfg))
         s1 = step(state, params)
         free = np.asarray(params.smoke_free)
-        v = np.asarray(s1.smoke.v)
+        v = np.asarray(s1.smoke.v)  # (3, R, R, R)
 
         div = (
-            (np.roll(v[..., 0], -1, 0) - np.roll(v[..., 0], 1, 0))
-            + (np.roll(v[..., 1], -1, 1) - np.roll(v[..., 1], 1, 1))
-            + (np.roll(v[..., 2], -1, 2) - np.roll(v[..., 2], 1, 2))
+            (np.roll(v[0], -1, 0) - np.roll(v[0], 1, 0))
+            + (np.roll(v[1], -1, 1) - np.roll(v[1], 1, 1))
+            + (np.roll(v[2], -1, 2) - np.roll(v[2], 1, 2))
         ) * 0.5
         interior = free.copy()
         for ax in range(3):
             interior &= np.roll(free, 1, ax) & np.roll(free, -1, ax)
         div_rms = np.sqrt((div[interior] ** 2).mean())
-        v_rms = np.sqrt((v[free] ** 2).sum(-1).mean())
+        v_rms = np.sqrt((v[:, free] ** 2).sum(0).mean())
         assert div_rms < 0.1 * max(v_rms, 1e-9)
 
     def test_temperature_cooled_near_aircon(self, stepped):
         """AirCon relaxes q toward low_T with exp(-d/r) factor
         (reference :229)."""
         cfg, params, state, s = stepped
-        q0 = np.asarray(state.smoke.q)
+        q0 = np.asarray(state.smoke.q)  # (Q, R, R, R)
         q1 = np.asarray(s.smoke.q)
         # near the aircon (cell 16, y inside slab)
-        assert q1[16, 16, 16, 0] < q0[16, 16, 16, 0]
+        assert q1[0, 16, 16, 16] < q0[0, 16, 16, 16]
 
     def test_differentiable_wrt_aircon_strength(self):
         cfg, params, state = build_smoke_sim(iters=10)
