@@ -178,6 +178,13 @@ def make_substep(cfg: SimCfg):
 
     _p2g = get_p2g(cfg.p2g_impl)
 
+    # perf-bisection knobs (debug only): comma list in FL_ABLATE
+    import os as _os
+
+    _ablate = set(
+        filter(None, _os.environ.get("FL_ABLATE", "").split(","))
+    )
+
     def _cell_pos():
         ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
@@ -209,7 +216,11 @@ def make_substep(cfg: SimCfg):
         I9 = eye_soa(N, x.dtype)
         F_tmp = mm_soa(I9 + dt * C, F)
         F_tmp = jnp.where(used[None, :], F_tmp, I9)
-        U, sig, V = svd3_soa(F_tmp)
+        if "nosvd" in _ablate:
+            U, V = I9, I9
+            sig = jnp.ones((3, N), x.dtype)
+        else:
+            U, sig, V = svd3_soa(F_tmp)
 
         # ---- stress (corotated + volumetric, reference p2g :339-344)
         J = sig[0] * sig[1] * sig[2]
@@ -240,7 +251,10 @@ def make_substep(cfg: SimCfg):
         base, fx = base_and_fx_soa(x, inv_dx)
         base = jnp.clip(base, 0, G - 3)
         w = quadratic_weights_soa(fx)  # (3 off, 3 ax, N)
-        grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx)
+        if "nop2g" in _ablate:
+            grid = jnp.ones((4, G3), x.dtype) * jnp.sum(affine) * 1e-20
+        else:
+            grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx)
 
         # ---- effector pose integration (before grid_op: collider velocity
         # needs pos[f] and pos[f+1]; reference substep order :515-533)
@@ -278,7 +292,11 @@ def make_substep(cfg: SimCfg):
         # ---- G2P gather (:400-426)
         new_v = jnp.zeros_like(v)
         new_C = jnp.zeros_like(C)
-        for (oi, oj, ok) in stencil:
+        g2p_stencil = [] if "nog2p" in _ablate else stencil
+        if "nog2p" in _ablate:
+            new_v = v * 0.999 + jnp.sum(v_out) * 1e-20
+            new_C = C * 0.999
+        for (oi, oj, ok) in g2p_stencil:
             wi = w[oi, 0] * w[oj, 1] * w[ok, 2]
             idx = (base[0] + oi) * (G * G) + (base[1] + oj) * G + (base[2] + ok)
             g_v = v_out[:, idx]  # (3, N)
