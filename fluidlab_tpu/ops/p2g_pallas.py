@@ -45,7 +45,8 @@ HALO = 2         # quadratic B-spline writes base..base+2
 REGION = BLOCK + HALO  # 18
 R2 = REGION * REGION   # 324
 R2PAD = 384      # R2 padded to a lane multiple
-CHUNK = 128      # particles per MXU pass
+CHUNK = 1024     # particles per MXU pass (large chunks amortize the
+                 # per-iteration DMA/loop overhead that dominated at 128)
 CPAD = 16        # feature channels padded (13 -> 16)
 WCOLS = REGION * CPAD  # 288
 
