@@ -42,9 +42,10 @@ def main():
     )
     on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
     p2g = os.environ.get("BENCH_P2G") or ("pallas" if on_tpu else "scatter")
+    g2p = os.environ.get("BENCH_G2P") or ("pallas" if on_tpu else "gather")
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, p2g_impl=p2g)
+    cfg = dataclasses.replace(cfg, p2g_impl=p2g, g2p_impl=g2p)
     step = make_step(cfg)
     action = jnp.zeros((1,), jnp.float32)
     has_action = jnp.asarray(False)

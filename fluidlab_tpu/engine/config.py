@@ -124,7 +124,8 @@ class SimCfg:
     smoke: Optional[SmokeCfg] = None
     has_rigid_bodies: bool = False
     rand_cycle: int = 4096  # injector random-offset table length
-    p2g_impl: str = "scatter"  # 'scatter' | 'sort' | 'dense' | 'pallas'
+    p2g_impl: str = "scatter"  # 'scatter' | 'sort' | 'pallas'
+    g2p_impl: str = "gather"  # 'gather' | 'pallas'
 
     @property
     def n_grid(self) -> int:

@@ -289,25 +289,36 @@ def make_substep(cfg: SimCfg):
         _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
         v_out = v_out * active[None, :].astype(x.dtype)
 
-        # ---- G2P gather (:400-426).  TPU ablation data: the gathers cost
-        # ~16 ms/substep at 65k particles whether issued as 27 separate
-        # gathers (33 ms total) or one fused 27N gather (37 ms) — XLA TPU
-        # gather is intrinsically slow at this index scale.  Round-2 fix:
-        # binned Pallas G2P sharing the P2G block structure (VMEM-local
-        # region reads, zero gathers).
+        # ---- G2P (:400-426).  TPU XLA gathers cost ~16 ms/substep at 65k
+        # particles (27 separate or one fused 27N gather alike, measured),
+        # so the TPU path uses the gather-free binned Pallas G2P
+        # (ops/g2p_pallas.py); the portable gather path stays for CPU and
+        # as the semantic reference.
         new_v = jnp.zeros_like(v)
         new_C = jnp.zeros_like(C)
-        g2p_stencil = [] if "nog2p" in _ablate else stencil
         if "nog2p" in _ablate:
             new_v = v * 0.999 + jnp.sum(v_out) * 1e-20
             new_C = C * 0.999
-        for (oi, oj, ok) in g2p_stencil:
-            wi = w[oi, 0] * w[oj, 1] * w[ok, 2]
-            idx = (base[0] + oi) * (G * G) + (base[1] + oj) * G + (base[2] + ok)
-            g_v = v_out[:, idx]  # (3, N)
-            dpos = jnp.stack([oi - fx[0], oj - fx[1], ok - fx[2]])
-            new_v = new_v + wi[None, :] * g_v
-            new_C = new_C + (4.0 * inv_dx) * wi[None, :] * outer_soa(g_v, dpos)
+        elif cfg.g2p_impl == "pallas":
+            from fluidlab_tpu.ops.g2p_pallas import g2p_pallas
+
+            interp = not str(jax.devices()[0]).startswith("TPU")
+            new_v, new_C = g2p_pallas(
+                base, fx, w, v_out, G, inv_dx, interpret=interp
+            )
+        else:
+            for (oi, oj, ok) in stencil:
+                wi = w[oi, 0] * w[oj, 1] * w[ok, 2]
+                idx = (
+                    (base[0] + oi) * (G * G) + (base[1] + oj) * G
+                    + (base[2] + ok)
+                )
+                g_v = v_out[:, idx]  # (3, N)
+                dpos = jnp.stack([oi - fx[0], oj - fx[1], ok - fx[2]])
+                new_v = new_v + wi[None, :] * g_v
+                new_C = new_C + (4.0 * inv_dx) * wi[None, :] * outer_soa(
+                    g_v, dpos
+                )
         if agent is not None and agent.collide_type in ("particle", "both"):
             x_tmp = x + dt * new_v
             new_v = _agent_collide(cfg, params, x_tmp, new_v, effs, effs_next)

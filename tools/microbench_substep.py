@@ -35,7 +35,12 @@ def main():
 
     for impl in impls:
         cfg, params, state = liquid_block_scene(n_particles=N, horizon=10)
-        cfg = dataclasses.replace(cfg, p2g_impl=impl)
+        if impl == "pallas2":  # both transfers via pallas kernels
+            cfg = dataclasses.replace(
+                cfg, p2g_impl="pallas", g2p_impl="pallas"
+            )
+        else:
+            cfg = dataclasses.replace(cfg, p2g_impl=impl)
         substep = make_substep(cfg)
 
         @jax.jit
