@@ -215,12 +215,19 @@ def _p2g_core(w, lbase_global, feats, G: int, interpret: bool):
 
 def _p2g_core_impl(w, lbase_global, feats, G, interpret):
     """w (3 off, 3 ax, N), lbase_global (3, N) int32, feats (13, N)."""
+    import os as _os
+
+    _ablate = set(filter(None, _os.environ.get("FL_ABLATE", "").split(",")))
     N = w.shape[-1]
     nb = G // BLOCK
     block = lbase_global // BLOCK  # (3, N)
     block_id = (block[0] * nb + block[1]) * nb + block[2]
-    order = jnp.argsort(block_id)
-    sorted_bid = block_id[order]
+    if "noperm" in _ablate:  # timing probe: identity binning (WRONG results)
+        order = jnp.arange(N, dtype=jnp.int32)
+        block_id = jnp.sort(block_id)
+    else:
+            order = jnp.argsort(block_id)
+    sorted_bid = block_id if "noperm" in _ablate else block_id[order]
     starts = jnp.searchsorted(
         sorted_bid, jnp.arange(nb * nb * nb + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
