@@ -43,9 +43,17 @@ def main():
     on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
     p2g = os.environ.get("BENCH_P2G") or ("pallas" if on_tpu else "scatter")
     g2p = os.environ.get("BENCH_G2P") or ("pallas" if on_tpu else "gather")
+    # persistent once-per-step binning: the TPU fast path (argsort and
+    # permutation gathers amortized over the 10 substeps — RESULTS.md)
+    bmode = os.environ.get("BENCH_BINNING") or (
+        "step" if (on_tpu and "pallas" in (p2g, g2p)) else "substep"
+    )
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, p2g_impl=p2g, g2p_impl=g2p)
+    cfg = dataclasses.replace(
+        cfg, p2g_impl=p2g, g2p_impl=g2p, binning_mode=bmode,
+        binning_margin=2 if bmode == "step" else 0,
+    )
     step = make_step(cfg)
     action = jnp.zeros((1,), jnp.float32)
     has_action = jnp.asarray(False)

@@ -126,6 +126,11 @@ class SimCfg:
     rand_cycle: int = 4096  # injector random-offset table length
     p2g_impl: str = "scatter"  # 'scatter' | 'sort' | 'pallas'
     g2p_impl: str = "gather"  # 'gather' | 'pallas'
+    # 'substep': bin particles exactly, every substep.  'step': bin once
+    # per control step, keep the state block-sorted across the substeps
+    # (ops/binning.py; needs binning_margin >= max per-step drift cells)
+    binning_mode: str = "substep"
+    binning_margin: int = 0
 
     @property
     def n_grid(self) -> int:

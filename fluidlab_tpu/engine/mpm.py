@@ -28,6 +28,7 @@ that and real performance.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -118,6 +119,7 @@ def _inject(
     v_next,  # (3, N)
     used_next,  # (N,)
     gate,
+    slot_of_id=None,  # (N,) original particle id -> current state slot
 ):
     """Spawn ``flux`` particles from the pre-generated offset table
     (reference injector.py:80-105, 240-256).  The tiny (flux, 3) blocks
@@ -131,6 +133,8 @@ def _inject(
     def do_inject(ops):
         x_n, v_n, used_n, act_id = ops
         idx = jax.lax.dynamic_slice(act_range, (act_id,), (flux,))
+        if slot_of_id is not None:  # state is block-sorted this step
+            idx = slot_of_id[idx]
         rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
         inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
         if ecfg.kind == "ball_injector":
@@ -174,9 +178,14 @@ def make_substep(cfg: SimCfg):
     agent = cfg.agent
     stencil = [tuple(int(v) for v in o) for o in STENCIL]
 
+    from fluidlab_tpu.ops.binning import compute_binning
     from fluidlab_tpu.ops.p2g import get_p2g
 
     _p2g = get_p2g(cfg.p2g_impl)
+    use_pallas_p2g = cfg.p2g_impl == "pallas"
+    use_pallas_g2p = cfg.g2p_impl == "pallas"
+    need_binning = use_pallas_p2g or use_pallas_g2p
+    marg = cfg.binning_margin
 
     # perf-bisection knobs (debug only): comma list in FL_ABLATE
     import os as _os
@@ -193,7 +202,9 @@ def make_substep(cfg: SimCfg):
             ii.reshape(G3), jj.reshape(G3), kk.reshape(G3)
         ]).astype(jnp.float32) * dx  # (3, G^3)
 
-    def substep(state: SimState, params: SceneParams, has_action) -> SimState:
+    def substep(state: SimState, params: SceneParams, has_action,
+                binning=None, presorted: bool = False,
+                slot_of_id=None) -> SimState:
         ps = state.particles
         effs = state.effectors
         x, v, C, F, used = ps.x, ps.v, ps.C, ps.F, ps.used
@@ -251,8 +262,13 @@ def make_substep(cfg: SimCfg):
         base, fx = base_and_fx_soa(x, inv_dx)
         base = jnp.clip(base, 0, G - 3)
         w = quadratic_weights_soa(fx)  # (3 off, 3 ax, N)
+        if need_binning and binning is None:
+            binning = compute_binning(base, G)
         if "nop2g" in _ablate:
             grid = jnp.ones((4, G3), x.dtype) * jnp.sum(affine) * 1e-20
+        elif use_pallas_p2g:
+            grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx,
+                        binning=binning, m=marg, presorted=presorted)
         else:
             grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx)
 
@@ -304,7 +320,8 @@ def make_substep(cfg: SimCfg):
 
             interp = not str(jax.devices()[0]).startswith("TPU")
             new_v, new_C = g2p_pallas(
-                base, fx, w, v_out, G, inv_dx, interpret=interp
+                base, fx, w, v_out, G, inv_dx, interpret=interp,
+                binning=binning, m=marg, presorted=presorted,
             )
         else:
             for (oi, oj, ok) in stencil:
@@ -367,7 +384,7 @@ def make_substep(cfg: SimCfg):
                     gate = gate & (state.f_global < agent.inject_till)
                 x_next, v_next, used_next, new_act_id = _inject(
                     cfg, params, i, effs[i], state.f_global,
-                    x_next, v_next, used_next, gate,
+                    x_next, v_next, used_next, gate, slot_of_id,
                 )
                 effs_out[i] = effs_out[i].replace(act_id=new_act_id)
             effs_next = tuple(effs_out)
@@ -455,11 +472,160 @@ def apply_action_p(cfg: SimCfg, effs: Tuple[EffectorState, ...], action_p):
     return tuple(out)
 
 
+@jax.custom_vjp
+def _sort_slots(arr, order, inv):
+    """(.., N) -> (.., NPAD): place particles into padded aligned slots
+    (dummy slots alias particle 0).  The VJP is a *gather* by the
+    id->slot map instead of XLA's scatter-add transpose (which TPU
+    lowers to a global sort); dummy-slot cotangents are identically zero
+    because dummies are never read downstream."""
+    return arr[..., order]
+
+
+def _sort_slots_fwd(arr, order, inv):
+    return arr[..., order], (order, inv)
+
+
+def _sort_slots_bwd(res, ct):
+    order, inv = res
+    return ct[..., inv], None, None
+
+
+_sort_slots.defvjp(_sort_slots_fwd, _sort_slots_bwd)
+
+
+@jax.custom_vjp
+def _unsort_slots(arr, order, inv, valid):
+    """(.., NPAD) -> (.., N): read particles back out of their padded
+    slots.  VJP gathers by ``order`` and masks dummy slots."""
+    return arr[..., inv]
+
+
+def _unsort_slots_fwd(arr, order, inv, valid):
+    return arr[..., inv], (order, inv, valid)
+
+
+def _unsort_slots_bwd(res, ct):
+    order, inv, valid = res
+    return ct[..., order] * valid, None, None, None
+
+
+_unsort_slots.defvjp(_unsort_slots_fwd, _unsort_slots_bwd)
+
+
 def make_step(cfg: SimCfg, smoke_step_fn=None):
     """Build ``step(state, params, action, has_action) -> state``: one
     control step = action routing + optional smoke step + n_substeps
-    (reference mpm_simulator.py:735-753)."""
+    (reference mpm_simulator.py:735-753).
+
+    With ``cfg.binning_mode == 'step'`` the particle state is permuted
+    into block-sorted order ONCE here, the substeps run presorted (the
+    Pallas transfer kernels skip their per-substep argsort + permutation
+    gathers — the dominant TPU cost, see RESULTS.md), and the state is
+    unsorted afterwards.  ``binning_margin`` cells of halo absorb the
+    drift accumulated over the 10 substeps (particles past the margin
+    drop out of the transfers — at margin 2 that needs a sustained
+    velocity > 15 m/s at 64^3, far beyond any FluidLab task).
+    """
     substep = make_substep(cfg)
+    persistent = cfg.binning_mode == "step" and (
+        cfg.p2g_impl == "pallas" or cfg.g2p_impl == "pallas"
+    )
+    if persistent and cfg.binning_margin < 2:
+        raise ValueError(
+            "binning_mode='step' needs binning_margin >= 2 to absorb "
+            "within-step particle drift"
+        )
+
+    from fluidlab_tpu.ops.binning import Binning, compute_binning
+
+    def _predict_inject_bins(params, effs, x_bin, used):
+        """Overwrite the binning positions of the particles that will be
+        injected THIS step with their predicted spawn points.  The
+        schedule is deterministic: act-pool slot ``act_id + k`` spawns at
+        substep ``k // flux`` at the effector's (linearly advancing)
+        position, so each one can be binned precisely — a single
+        step-start prediction misses by many blocks when the injector
+        sweeps fast (e.g. the LatteArt sine sweep)."""
+        for i, e in enumerate(cfg.agent.effectors):
+            if e.kind not in ("injector", "ball_injector") or e.flux == 0:
+                continue
+            eff = effs[i]
+            W = e.flux * cfg.n_substeps
+            idxw = jax.lax.dynamic_slice(
+                params.inj_act_range[i], (eff.act_id,), (W,)
+            )
+            # slot act_id + k spawns at substep k // flux, at the
+            # effector pose advanced that many times (_inject uses the
+            # substep-entry effector state).  Replay the exact pose
+            # kinematics (incl. boundary clamp and quat spin) — 10
+            # iterations on (3,)-vectors, negligible.
+            pos_j, quat_j = eff.pos, eff.quat
+            spawn = []
+            for _ in range(cfg.n_substeps):
+                if e.kind == "ball_injector":
+                    c = pos_j
+                else:
+                    c = pos_j + quat_ops.transform_by_quat(
+                        jnp.asarray(e.inject_p, x_bin.dtype), quat_j
+                    )
+                spawn.append(c)
+                pos_j = e.boundary.impose_x(pos_j + eff.v)
+                quat_j = quat_ops.qmul(quat_ops.w2quat(eff.w), quat_j)
+            spawn = jnp.stack(spawn, axis=1)  # (3, n_substeps)
+            ks = jnp.arange(W, dtype=jnp.int32) // e.flux
+            centers = spawn[:, ks]
+            # pool-end clamp can alias already-used ids: keep their real x
+            centers = jnp.where(used[idxw][None, :], x_bin[:, idxw], centers)
+            x_bin = x_bin.at[:, idxw].set(centers)
+        return x_bin
+
+    def _substeps_sorted(state, params, has_action):
+        ps = state.particles
+        x, used = ps.x, ps.used
+        G = cfg.n_grid
+
+        x_bin = x
+        if cfg.agent is not None:
+            x_bin = _predict_inject_bins(params, state.effectors, x_bin, used)
+        base_bin, _ = base_and_fx_soa(x_bin, cfg.inv_dx)
+        base_bin = jnp.clip(base_bin, 0, G - 3)
+        bn = compute_binning(base_bin, G)
+        order, inv, valid = bn.order, bn.inv, bn.valid
+
+        def sort_t(arr):
+            return _sort_slots(arr, order, inv)
+
+        def unsort_t(arr):
+            return _unsort_slots(arr, order, inv, valid)
+
+        state_s = state.replace(particles=ParticleState(
+            x=sort_t(ps.x), v=sort_t(ps.v), C=sort_t(ps.C),
+            F=sort_t(ps.F), used=ps.used[order] & (valid > 0),
+        ))
+        import dataclasses as _dc
+
+        params_s = _dc.replace(
+            params,
+            p_mu=params.p_mu[order], p_lam=params.p_lam[order],
+            p_mass=params.p_mass[order], p_mat=params.p_mat[order],
+            p_mat_cls=params.p_mat_cls[order], p_body=params.p_body[order],
+        )
+        bn_s = Binning(order=order, valid=valid, inv=inv,
+                       starts=bn.starts, block=bn.block[:, order])
+
+        def body(s, _):
+            return substep(s, params_s, has_action, binning=bn_s,
+                           presorted=True, slot_of_id=inv), None
+
+        state_s, _ = jax.lax.scan(
+            body, state_s, None, length=cfg.n_substeps
+        )
+        nps = state_s.particles
+        return state_s.replace(particles=ParticleState(
+            x=unsort_t(nps.x), v=unsort_t(nps.v), C=unsort_t(nps.C),
+            F=unsort_t(nps.F), used=nps.used[inv],
+        ))
 
     def step(state: SimState, params: SceneParams, action, has_action):
         if cfg.agent is not None and cfg.agent.action_dim > 0:
@@ -476,10 +642,15 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
             state = smoke_step_fn(state, params)
 
         if cfg.has_particles or cfg.agent is not None:
-            def body(s, _):
-                return substep(s, params, has_action), None
+            if persistent and cfg.has_particles:
+                state = _substeps_sorted(state, params, has_action)
+            else:
+                def body(s, _):
+                    return substep(s, params, has_action), None
 
-            state, _ = jax.lax.scan(body, state, None, length=cfg.n_substeps)
+                state, _ = jax.lax.scan(
+                    body, state, None, length=cfg.n_substeps
+                )
         return state
 
     return step

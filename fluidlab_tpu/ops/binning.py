@@ -1,0 +1,95 @@
+"""Shared particle->block binning for the Pallas transfer kernels.
+
+Both the binned P2G (ops/p2g_pallas.py) and the binned G2P
+(ops/g2p_pallas.py) need the same CSR layout of particles grouped by
+16^3-cell grid block.  Two TPU constraints shape it:
+
+- **argsort is expensive** (~10 ms at 65k keys on v5e — XLA's bitonic
+  sort is latency-bound in pass count, not bandwidth), so the binning is
+  computed ONCE and shared by both kernels, and under the persistent
+  mode (engine/mpm.py ``binning_mode='step'``) once per *control step*.
+- **DMA row alignment**: the kernels stream (chunk, 128) row slabs
+  between HBM and VMEM at per-block offsets.  f32 tiles are (8, 128),
+  so every block's slot range must start at a multiple of 8 — the CSR is
+  therefore *padded*: each block's extent is rounded up to ALIGN slots,
+  the filler ("dummy") slots alias particle 0 and carry valid=0.
+
+Total padded size NPAD = N + NB^3 * ALIGN is static (each block wastes
+at most ALIGN-1 slots).  Dummy slots never contribute: P2G multiplies
+weights (or features, via the used mask) by ``valid``; G2P output rows
+for dummies are simply never read back (the id->slot map ``inv`` only
+addresses real slots).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+BLOCK = 16  # cells per block edge
+ALIGN = 8   # slot alignment of block ranges ((8, 128) f32 tiling)
+
+
+class Binning(NamedTuple):
+    """Aligned padded CSR binning of particles into grid blocks."""
+
+    order: jnp.ndarray   # (NPAD,) padded slot -> particle id (dummy -> 0)
+    valid: jnp.ndarray   # (NPAD,) float32, 1.0 for real slots
+    inv: jnp.ndarray     # (N,)    particle id -> padded slot
+    starts: jnp.ndarray  # (NB^3 + 1,) padded slot ranges, ALIGN-multiples
+    block: jnp.ndarray   # (3, N)  binning-time block coords, particle order
+
+
+def padded_size(n: int, G: int) -> int:
+    nb = G // BLOCK
+    return n + nb * nb * nb * ALIGN
+
+
+def compute_binning(base, G: int) -> Binning:
+    """Bin particles by the block of their (clipped) base cell.
+
+    ``base`` (3, N) int32 must already be clipped to [0, G-3] (the
+    B-spline stencil clip), so block indices are in range by
+    construction.
+    """
+    N = base.shape[-1]
+    nb = G // BLOCK
+    nb3 = nb * nb * nb
+    npad = padded_size(N, G)
+
+    block = base // BLOCK  # (3, N)
+    bid = (block[0] * nb + block[1]) * nb + block[2]
+    order0 = jnp.argsort(bid)   # rank -> id
+    rank = jnp.argsort(order0)  # id -> rank
+    sorted_bid = bid[order0]
+    starts0 = jnp.searchsorted(
+        sorted_bid, jnp.arange(nb3 + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = starts0[1:] - starts0[:-1]  # (nb3,)
+    cpad = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    pstart = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)
+    ])  # (nb3 + 1,)
+
+    # particle id -> padded slot: rank within block + block's pad offset
+    inv = rank + (pstart[:-1] - starts0[:-1])[bid]
+
+    # padded slot -> particle id
+    s = jnp.arange(npad, dtype=jnp.int32)
+    b_of_s = jnp.clip(
+        jnp.searchsorted(pstart, s, side="right").astype(jnp.int32) - 1,
+        0, nb3 - 1,
+    )
+    j = s - pstart[b_of_s]
+    valid = j < counts[b_of_s]
+    src_rank = jnp.clip(starts0[b_of_s] + j, 0, max(N - 1, 0))
+    order = jnp.where(valid, order0[src_rank], 0)
+
+    return Binning(
+        order=order,
+        valid=valid.astype(jnp.float32),
+        inv=inv,
+        starts=pstart,
+        block=block,
+    )

@@ -3,8 +3,8 @@
 TPU XLA gathers cost ~16 ms/substep at 65k particles whether issued as 27
 separate (N,)-index gathers or one fused 27N gather (measured; see
 RESULTS.md).  This kernel eliminates them: particles are binned by
-16^3-cell block (same binning as ops/p2g_pallas.py), each block's
-18^3-cell halo region is sliced out of the grid with *static* slices and
+16^3-cell block (ops/binning.py, shared with the P2G kernel), each
+block's halo region is sliced out of the grid with *static* slices and
 DMA'd to VMEM, and the per-particle interpolation becomes dense MXU
 contractions over the local region:
 
@@ -14,6 +14,10 @@ contractions over the local region:
 with the cell-coordinate moments factored per axis (modified axis
 weights W' = W * coord).  The APIC C then follows in XLA as
 ``C = 4 inv_dx (S1_global - S0 (x inv_dx))`` — all elementwise.
+
+The halo margin ``m`` (see ops/p2g_pallas.py) admits binnings computed
+from positions up to ``m`` cells stale, enabling once-per-control-step
+binning with the particle state kept in sorted order across substeps.
 
 The op is linear in the grid: the grid cotangent in the VJP is exactly a
 P2G transfer of the output cotangents (values affine in the cell index),
@@ -31,212 +35,220 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.bspline import STENCIL
-from fluidlab_tpu.ops.p2g_pallas import (
-    BLOCK,
-    HALO,
-    REGION,
-    R2,
-    R2PAD,
-    _overlap_add,
-    _accumulate_blocks,
-)
+from fluidlab_tpu.ops.binning import BLOCK, Binning, compute_binning
+from fluidlab_tpu.ops.p2g_pallas import HALO, _p2g_core, _region, _r2pad
 
 CHUNK = 512
 PACKG = 128  # packed row: wx(3) wy(3) wz(3) lbase(3)
-RCOLS = 128  # region z-extent padded to lanes (REGION=18 used)
+RCOLS = 128  # region z-extent padded to lanes (region <= 24 used)
 OUTC = 128   # output row: S0(3) S1loc(9) padded
 
 
-def _g2p_block_kernel(starts_ref, packed_ref, regions_ref, out_ref,
-                      pslab, rslab, oslab, sem):
-    b = pl.program_id(0)
-    start = starts_ref[b]
-    end = starts_ref[b + 1]
-    n = end - start
+@functools.lru_cache(maxsize=None)
+def _make_g2p_blocks(m: int):
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
 
-    # region for this block: (3, R2, RCOLS)
-    cp_r = pltpu.make_async_copy(regions_ref.at[b], rslab, sem.at[2])
-    cp_r.start()
-    cp_r.wait()
-    rvals = rslab[...]  # (3, R2, RCOLS)
+    def kernel(starts_ref, packed_ref, regions_ref, out_ref,
+               pslab, rslab, oslab, sem):
+        b = pl.program_id(0)
+        start = starts_ref[b]
+        end = starts_ref[b + 1]
+        n = end - start
 
-    # constant index maps
-    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R2PAD), 1)
-    a_col = jnp.minimum(col // REGION, REGION - 1)
-    b_col = col % REGION
-    col_valid = (col < R2).astype(jnp.float32)
-    zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
-    z_valid = (zcol < REGION).astype(jnp.float32)
+        # region for this block: (3, r2, RCOLS)
+        cp_r = pltpu.make_async_copy(regions_ref.at[b], rslab, sem.at[2])
+        cp_r.start()
+        cp_r.wait()
+        rvals = rslab[...]  # (3, r2, RCOLS)
 
-    n_chunks = (n + CHUNK - 1) // CHUNK
+        # constant index maps
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+        a_col = jnp.minimum(col // region, region - 1)
+        b_col = col % region
+        col_valid = (col < r2).astype(jnp.float32)
+        zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
+        z_valid = (zcol < region).astype(jnp.float32)
 
-    def dma_in(c, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[pl.ds(start + c * CHUNK, CHUNK)],
-            pslab.at[slot], sem.at[slot],
-        )
+        n_chunks = (n + CHUNK - 1) // CHUNK
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def chunk_body(c, _):
-        slot = c % 2
-        dma_in(c, slot).wait()
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            dma_in(c + 1, 1 - slot).start()
-
-        pk = pslab[slot]  # (CHUNK, PACKG)
-        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-        lvals = pk[:, 9:12].astype(jnp.int32)
-
-        def onehot(w_axis, lb, ids, valid):
-            off = ids - lb
-            out = jnp.zeros(ids.shape, jnp.float32)
-            for o in range(3):
-                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
-            return out * valid
-
-        # z-axis weights over the padded z extent (CHUNK, RCOLS)
-        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
-        Wz_c = Wz * zcol.astype(jnp.float32)  # * local z coordinate
-        # xy weights over the (a, b) plane (CHUNK, R2PAD)
-        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
-        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
-        T = Wx * Wy
-        T_a = T * a_col.astype(jnp.float32)
-        T_b = T * b_col.astype(jnp.float32)
-
-        outs = []
-        for ch in range(3):
-            R_ch = rvals[ch]  # (R2, RCOLS)
-            # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
-            gz = jax.lax.dot_general(
-                Wz, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (CHUNK, R2)
-            gzc = jax.lax.dot_general(
-                Wz_c, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        def dma_in(c, slot):
+            return pltpu.make_async_copy(
+                packed_ref.at[pl.ds(start + c * CHUNK, CHUNK)],
+                pslab.at[slot], sem.at[slot],
             )
-            gz_p = jnp.pad(gz, ((0, 0), (0, R2PAD - R2)))
-            gzc_p = jnp.pad(gzc, ((0, 0), (0, R2PAD - R2)))
-            s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)
-            s1a = jnp.sum(T_a * gz_p, axis=1)    # x-moment
-            s1b = jnp.sum(T_b * gz_p, axis=1)    # y-moment
-            s1c = jnp.sum(T * gzc_p, axis=1)     # z-moment
-            outs += [s0, s1a, s1b, s1c]
 
-        # rows: [S0_x S0_y S0_z | S1 row-major (g_i x local_d)]
-        # outs layout per channel i: [s0_i, s1_ix, s1_iy, s1_iz]
-        packed_out = jnp.stack(
-            [outs[0], outs[4], outs[8],        # S0
-             outs[1], outs[2], outs[3],        # S1[0, :]
-             outs[5], outs[6], outs[7],        # S1[1, :]
-             outs[9], outs[10], outs[11]],     # S1[2, :]
-            axis=1,
-        )  # (CHUNK, 12)
-        oslab[:, 0:12] = packed_out
-        cp_o = pltpu.make_async_copy(
-            oslab, out_ref.at[pl.ds(start + c * CHUNK, CHUNK)], sem.at[3]
+        @pl.when(n_chunks > 0)
+        def _():
+            dma_in(0, 0).start()
+
+        def chunk_body(c, _):
+            slot = c % 2
+            dma_in(c, slot).wait()
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma_in(c + 1, 1 - slot).start()
+
+            pk = pslab[slot]  # (CHUNK, PACKG)
+            wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+            lvals = pk[:, 9:12].astype(jnp.int32)
+
+            def onehot(w_axis, lb, ids, valid):
+                off = ids - lb
+                out = jnp.zeros(ids.shape, jnp.float32)
+                for o in range(3):
+                    out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+                return out * valid
+
+            # z-axis weights over the padded z extent (CHUNK, RCOLS)
+            Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+            Wz_c = Wz * zcol.astype(jnp.float32)  # * local z coordinate
+            # xy weights over the (a, b) plane (CHUNK, r2pad)
+            Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+            Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+            T = Wx * Wy
+            T_a = T * a_col.astype(jnp.float32)
+            T_b = T * b_col.astype(jnp.float32)
+
+            outs = []
+            for ch in range(3):
+                R_ch = rvals[ch]  # (r2, RCOLS)
+                # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
+                gz = jax.lax.dot_general(
+                    Wz, R_ch, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (CHUNK, r2)
+                gzc = jax.lax.dot_general(
+                    Wz_c, R_ch, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
+                gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))
+                s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)
+                s1a = jnp.sum(T_a * gz_p, axis=1)    # x-moment
+                s1b = jnp.sum(T_b * gz_p, axis=1)    # y-moment
+                s1c = jnp.sum(T * gzc_p, axis=1)     # z-moment
+                outs += [s0, s1a, s1b, s1c]
+
+            # rows: [S0_x S0_y S0_z | S1 row-major (g_i x local_d)]
+            # outs layout per channel i: [s0_i, s1_ix, s1_iy, s1_iz]
+            packed_out = jnp.stack(
+                [outs[0], outs[4], outs[8],        # S0
+                 outs[1], outs[2], outs[3],        # S1[0, :]
+                 outs[5], outs[6], outs[7],        # S1[1, :]
+                 outs[9], outs[10], outs[11]],     # S1[2, :]
+                axis=1,
+            )  # (CHUNK, 12)
+            oslab[:, 0:12] = packed_out
+            cp_o = pltpu.make_async_copy(
+                oslab, out_ref.at[pl.ds(start + c * CHUNK, CHUNK)], sem.at[3]
+            )
+            cp_o.start()
+            cp_o.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    def g2p_blocks(packed, regions, starts, nb: int, n_pad: int):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb * nb * nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, PACKG), jnp.float32),
+                pltpu.VMEM((3, r2, RCOLS), jnp.float32),
+                pltpu.VMEM((CHUNK, OUTC), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
         )
-        cp_o.start()
-        cp_o.wait()
-        return 0
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, OUTC), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(starts, packed, regions)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-def _g2p_blocks(packed, regions, starts, nb: int, n_pad: int):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb * nb * nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, PACKG), jnp.float32),
-            pltpu.VMEM((3, R2, RCOLS), jnp.float32),
-            pltpu.VMEM((CHUNK, OUTC), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-    )
-    return pl.pallas_call(
-        _g2p_block_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, OUTC), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, packed, regions)
+    return g2p_blocks
 
 
-def _build_regions(v_out, G: int, nb: int):
-    """(3, G^3) grid -> (NB^3, 3, R2, RCOLS) overlapping halo regions via
-    static slices (no gathers)."""
+def _build_regions(v_out, G: int, nb: int, m: int = 0):
+    """(3, G^3) grid -> (NB^3, 3, r2, RCOLS) overlapping halo regions via
+    static slices (no gathers).  Region of block b covers global cells
+    [b*BLOCK - m, b*BLOCK - m + region)."""
+    region = _region(m)
+    hx = region - BLOCK  # hi-side overlap pulled from the next block
     v4 = v_out.reshape(3, G, G, G)
-    pad = BLOCK  # room for the halo reshape trick
-    v4p = jnp.pad(v4, ((0, 0), (0, pad), (0, pad), (0, pad)))
+    v4p = jnp.pad(v4, ((0, 0), (m, BLOCK), (m, BLOCK), (m, BLOCK)))
 
     def split_axis(arr, axis):
-        # (..., G+pad, ...) -> (..., NB, REGION, ...) with overlap
-        core = jax.lax.slice_in_dim(arr, 0, G, axis=axis)
-        halo_src = jax.lax.slice_in_dim(arr, BLOCK, BLOCK + G, axis=axis)
+        # (..., G+m+pad, ...) -> (..., NB, region, ...) with overlap
+        core = jax.lax.slice_in_dim(arr, 0, G + m, axis=axis)
+        core = jax.lax.slice_in_dim(core, 0, nb * BLOCK, axis=axis)
+        halo_src = jax.lax.slice_in_dim(
+            arr, BLOCK, BLOCK + nb * BLOCK, axis=axis
+        )
         new_shape = arr.shape[:axis] + (nb, BLOCK) + arr.shape[axis + 1:]
         core = core.reshape(new_shape)
         halo = halo_src.reshape(new_shape)
-        halo = jax.lax.slice_in_dim(halo, 0, HALO, axis=axis + 1)
+        halo = jax.lax.slice_in_dim(halo, 0, hx, axis=axis + 1)
         return jnp.concatenate([core, halo], axis=axis + 1)
 
     r = split_axis(v4p, 1)      # (3, NB, R, G+p, G+p)
     r = split_axis(r, 3)        # (3, NB, R, NB, R, G+p)
     r = split_axis(r, 5)        # (3, NB, R, NB, R, NB, R)
     r = r.transpose(1, 3, 5, 0, 2, 4, 6).reshape(
-        nb * nb * nb, 3, REGION * REGION, REGION
+        nb * nb * nb, 3, region * region, region
     )
-    return jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, RCOLS - REGION)))
+    return jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, RCOLS - region)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _g2p_core(w, base, v_out, G: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _g2p_core(w, base, v_out, order, valid, inv, starts, block,
+              G: int, m: int, presorted: bool, interpret: bool):
     """(S0 (3, N), S1_global (9, N)): zeroth and first cell-index moments
     of the stencil-weighted grid values."""
-    return _g2p_core_fwd(w, base, v_out, G, interpret)[0]
+    return _g2p_core_fwd(
+        w, base, v_out, order, valid, inv, starts, block, G, m, presorted,
+        interpret,
+    )[0]
 
 
-def _g2p_core_impl(w, base, v_out, G, interpret):
+def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
+                   G, m, presorted, interpret):
     N = w.shape[-1]
+    npad = N if presorted else order.shape[0]
     nb = G // BLOCK
-    block = base // BLOCK
-    block_id = (block[0] * nb + block[1]) * nb + block[2]
-    order = jnp.argsort(block_id)
-    inv_order = jnp.argsort(order)
-    sorted_bid = block_id[order]
-    starts = jnp.searchsorted(
-        sorted_bid, jnp.arange(nb * nb * nb + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
 
-    lb = (base - block * BLOCK).astype(jnp.float32)
-    rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)[:, order]
+    lb = (base - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)
+    if not presorted:
+        rows = rows[:, order]  # (12, NPAD); dummy rows' output is unread
     rows = jnp.pad(rows, ((0, PACKG - 12), (0, 2 * CHUNK)))
-    packed = rows.T  # (N + 2*CHUNK, PACKG)
+    packed = rows.T  # (NPAD + 2*CHUNK, PACKG)
 
-    regions = _build_regions(v_out, G, nb)
+    regions = _build_regions(v_out, G, nb, m)
 
+    fn = _make_g2p_blocks(m)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            out = _g2p_blocks(packed, regions, starts, nb, N + 2 * CHUNK)
+            out = fn(packed, regions, starts, nb, npad + 2 * CHUNK)
     else:
-        out = _g2p_blocks(packed, regions, starts, nb, N + 2 * CHUNK)
+        out = fn(packed, regions, starts, nb, npad + 2 * CHUNK)
 
-    res = out[:N][inv_order]  # (N, OUTC), original particle order
-    res_t = res[:, :12].T  # (12, N)
+    res = out[:npad, :12]  # slice BEFORE the unsort gather (12 vs 128 cols)
+    if not presorted:
+        res = res[inv]  # back to original particle order, drops dummies
+    res_t = res.T  # (12, N)
     S0 = res_t[:3]
     S1loc = res_t[3:12]
     # local -> global cell coordinates: S1g[i, d] = S1loc + borig_d * S0_i
-    borig = (block * BLOCK).astype(jnp.float32)  # (3, N)
+    borig = (block * BLOCK - m).astype(jnp.float32)  # (3, N)
     S1g = jnp.stack([
         S1loc[3 * i + d] + borig[d] * S0[i]
         for i in range(3) for d in range(3)
@@ -244,15 +256,17 @@ def _g2p_core_impl(w, base, v_out, G, interpret):
     return S0, S1g
 
 
-def _g2p_core_fwd(w, base, v_out, G, interpret):
-    out = _g2p_core_impl(w, base, v_out, G, interpret)
-    return out, (w, base, v_out)
+def _g2p_core_fwd(w, base, v_out, order, valid, inv, starts, block,
+                  G, m, presorted, interpret):
+    out = _g2p_core_impl(
+        w, base, v_out, order, valid, inv, starts, block, G, m, presorted,
+        interpret,
+    )
+    return out, (w, base, v_out, order, valid, starts, block)
 
 
-def _g2p_core_bwd(G, interpret, res, cots):
-    from fluidlab_tpu.ops.p2g_pallas import _p2g_core
-
-    w, base, v_out = res
+def _g2p_core_bwd(G, m, presorted, interpret, res, cots):
+    w, base, v_out, order, valid, starts, block = res
     S0bar, S1bar = cots  # (3, N), (9, N)
 
     # d_v_out: scatter of values affine in the cell index:
@@ -262,7 +276,10 @@ def _g2p_core_bwd(G, interpret, res, cots):
     feats = jnp.concatenate(
         [S0bar, S1bar, jnp.zeros((1, S0bar.shape[-1]), S0bar.dtype)], axis=0
     )
-    grid13 = _p2g_core(w, base, feats, G, interpret)  # (13, G^3)
+    grid13 = _p2g_core(
+        w, base, feats, order, valid, starts, block, G, m, presorted,
+        interpret,
+    )  # (13, G^3)
     ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0).reshape(-1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1).reshape(-1)
     kk = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2).reshape(-1)
@@ -290,16 +307,23 @@ def _g2p_core_bwd(G, interpret, res, cots):
         d_w = d_w.at[oi, 0].add(w[oj, 1] * w[ok, 2] * e)
         d_w = d_w.at[oj, 1].add(w[oi, 0] * w[ok, 2] * e)
         d_w = d_w.at[ok, 2].add(w[oi, 0] * w[oj, 1] * e)
-    return d_w, None, d_v
+    return d_w, None, d_v, None, None, None, None, None
 
 
 _g2p_core.defvjp(_g2p_core_fwd, _g2p_core_bwd)
 
 
-def g2p_pallas(base, fx, w, v_out, G, inv_dx, interpret=False):
+def g2p_pallas(base, fx, w, v_out, G, inv_dx, interpret=False,
+               binning: Binning | None = None, m: int = 0,
+               presorted: bool = False):
     """Gather-free G2P: returns (new_v (3, N), new_C (9, N)) matching the
     27-point stencil gather (reference mpm_simulator.py:400-426)."""
-    S0, S1g = _g2p_core(w, base, v_out, G, interpret)
+    if binning is None:
+        binning = compute_binning(base, G)
+    S0, S1g = _g2p_core(
+        w, base, v_out, binning.order, binning.valid, binning.inv,
+        binning.starts, binning.block, G, m, presorted, interpret,
+    )
     xg = base.astype(S0.dtype) + fx  # x * inv_dx, cell units
     new_C = (4.0 * inv_dx) * jnp.stack([
         S1g[3 * i + d] - S0[i] * xg[d] for i in range(3) for d in range(3)

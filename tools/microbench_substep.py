@@ -39,17 +39,33 @@ def main():
             cfg = dataclasses.replace(
                 cfg, p2g_impl="pallas", g2p_impl="pallas"
             )
+        elif impl == "persist":  # pallas2 + once-per-step binning
+            cfg = dataclasses.replace(
+                cfg, p2g_impl="pallas", g2p_impl="pallas",
+                binning_mode="step", binning_margin=2,
+            )
         else:
             cfg = dataclasses.replace(cfg, p2g_impl=impl)
-        substep = make_substep(cfg)
 
-        @jax.jit
-        def chain(s):
-            def body(carry, _):
-                return substep(carry, params, jnp.asarray(False)), None
+        if impl == "persist":
+            from fluidlab_tpu.engine.mpm import make_step
 
-            out, _ = jax.lax.scan(body, s, None, length=inner)
-            return out
+            stepfn = make_step(cfg)
+            act = jnp.zeros((1,), jnp.float32)
+
+            @jax.jit
+            def chain(s):
+                return stepfn(s, params, act, jnp.asarray(False))
+        else:
+            substep = make_substep(cfg)
+
+            @jax.jit
+            def chain(s):
+                def body(carry, _):
+                    return substep(carry, params, jnp.asarray(False)), None
+
+                out, _ = jax.lax.scan(body, s, None, length=inner)
+                return out
 
         if os.environ.get("BENCH_COST"):
             try:
