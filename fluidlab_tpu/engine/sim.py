@@ -110,12 +110,14 @@ class FluidSim:
         ckpt_dest=None,  # accepted for API parity; remat replaces it
         gravity=(0.0, -10.0, 0.0),
         seed=0,
+        transfer="auto",  # 'auto' | 'portable' | 'pallas'
     ):
         self.dim = dim
         self.quality = quality
         self.particle_density = particle_density
         self.horizon = horizon
         self.gravity = tuple(gravity)
+        self.transfer = transfer
         # remat window in control steps (reference max_substeps_local is in
         # substeps, mpm_simulator.py:27-31)
         self.window = max(1, max_substeps_local // 10)
@@ -276,6 +278,29 @@ class FluidSim:
             np.any(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_RIGID)
         )
 
+        # transfer-impl selection: the Pallas block-binned kernels with
+        # persistent once-per-step binning are the TPU fast path
+        # (~10-20x on the forward substep, see RESULTS.md); the XLA
+        # scatter/gather path is the portable semantic reference.
+        mode = self.transfer
+        if mode == "auto":
+            on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
+            mode = "pallas" if (on_tpu and self.quality == 1) else "portable"
+        if mode == "pallas" and n_particles > 0:
+            margin = 2
+            if agent_cfg is not None and any(
+                e.kind == "ball_injector" for e in agent_cfg.effectors
+            ):
+                # ball spawn offsets reach radius*G cells from the
+                # predicted center (envs use radius <= 0.035 -> 2.24)
+                margin = 3
+            impl_kwargs = dict(
+                p2g_impl="pallas", g2p_impl="pallas",
+                binning_mode="step", binning_margin=margin,
+            )
+        else:
+            impl_kwargs = {}
+
         self.cfg = SimCfg(
             n_particles=n_particles,
             n_bodies=0 if particles is None else particles["bodies"]["n"],
@@ -288,6 +313,7 @@ class FluidSim:
             agent=agent_cfg,
             smoke=self.smoke_cfg,
             has_rigid_bodies=has_rigid,
+            **impl_kwargs,
         )
 
         # ---- particle params + init state

@@ -53,7 +53,8 @@ def _make_g2p_blocks(m: int):
     def kernel(starts_ref, packed_ref, regions_ref, out_ref,
                pslab, rslab, oslab, sem):
         b = pl.program_id(0)
-        start = starts_ref[b]
+        # block ranges are ALIGN(=8)-aligned by construction (binning.py)
+        start = pl.multiple_of(starts_ref[b], 8)
         end = starts_ref[b + 1]
         n = end - start
 

@@ -80,7 +80,8 @@ def _make_accumulate(m: int):
 
     def kernel(starts_ref, packed_ref, out_ref, acc_ref, slab, sem):
         b = pl.program_id(0)
-        start = starts_ref[b]
+        # block ranges are ALIGN(=8)-aligned by construction (binning.py)
+        start = pl.multiple_of(starts_ref[b], 8)
         end = starts_ref[b + 1]
         n = end - start
 
