@@ -27,8 +27,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-BLOCK = 16  # cells per block edge
-ALIGN = 8   # slot alignment of block ranges ((8, 128) f32 tiling)
+BLOCK = 16   # cells per block edge
+ALIGN = 128  # slot alignment of block ranges = the kernels' chunk size
+             # (every block owns >= 1 chunk, so every managed out block
+             # is written; chunks never straddle blocks)
 
 
 class Binning(NamedTuple):
@@ -43,7 +45,7 @@ class Binning(NamedTuple):
 
 def padded_size(n: int, G: int) -> int:
     nb = G // BLOCK
-    return n + nb * nb * nb * ALIGN
+    return ((n + ALIGN - 1) // ALIGN) * ALIGN + nb * nb * nb * ALIGN
 
 
 def compute_binning(base, G: int) -> Binning:
@@ -67,7 +69,9 @@ def compute_binning(base, G: int) -> Binning:
         sorted_bid, jnp.arange(nb3 + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     counts = starts0[1:] - starts0[:-1]  # (nb3,)
-    cpad = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    # every block gets at least one chunk (its kernel out block must be
+    # written even when empty — all-dummy chunks accumulate zero)
+    cpad = jnp.maximum((counts + ALIGN - 1) // ALIGN, 1) * ALIGN
     pstart = jnp.concatenate([
         jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)
     ])  # (nb3 + 1,)
@@ -93,3 +97,13 @@ def compute_binning(base, G: int) -> Binning:
         starts=pstart,
         block=block,
     )
+
+
+def chunk_to_block(starts, npad: int):
+    """(NCH,) int32: owning block of each ALIGN-slot chunk.  Chunks past
+    ``starts[-1]`` (the static-padding tail) map to the last block; their
+    slots are all dummies."""
+    nb3 = starts.shape[0] - 1
+    c = jnp.arange(npad // ALIGN, dtype=jnp.int32) * ALIGN
+    b = jnp.searchsorted(starts, c, side="right").astype(jnp.int32) - 1
+    return jnp.clip(b, 0, nb3 - 1)

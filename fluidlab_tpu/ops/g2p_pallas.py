@@ -35,10 +35,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.bspline import STENCIL
-from fluidlab_tpu.ops.binning import BLOCK, Binning, compute_binning
+from fluidlab_tpu.ops.binning import (
+    ALIGN,
+    BLOCK,
+    Binning,
+    chunk_to_block,
+    compute_binning,
+)
 from fluidlab_tpu.ops.p2g_pallas import HALO, _p2g_core, _region, _r2pad
 
-CHUNK = 512
+CHUNK = ALIGN  # particles per grid step == binning alignment
 PACKG = 128  # packed row: wx(3) wy(3) wz(3) lbase(3)
 RCOLS = 128  # region z-extent padded to lanes (region <= 24 used)
 OUTC = 128   # output row: S0(3) S1loc(9) padded
@@ -50,19 +56,9 @@ def _make_g2p_blocks(m: int):
     r2 = region * region
     r2pad = _r2pad(m)
 
-    def kernel(starts_ref, packed_ref, regions_ref, out_ref,
-               pslab, rslab, oslab, sem):
-        b = pl.program_id(0)
-        # block ranges are ALIGN(=8)-aligned by construction (binning.py)
-        start = pl.multiple_of(starts_ref[b], 8)
-        end = starts_ref[b + 1]
-        n = end - start
-
-        # region for this block: (3, r2, RCOLS)
-        cp_r = pltpu.make_async_copy(regions_ref.at[b], rslab, sem.at[2])
-        cp_r.start()
-        cp_r.wait()
-        rvals = rslab[...]  # (3, r2, RCOLS)
+    def kernel(c2b_ref, packed_ref, regions_ref, out_ref):
+        del c2b_ref  # used only by the index maps
+        rvals = regions_ref[0]  # (3, r2, RCOLS)
 
         # constant index maps
         col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
@@ -72,108 +68,76 @@ def _make_g2p_blocks(m: int):
         zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
         z_valid = (zcol < region).astype(jnp.float32)
 
-        n_chunks = (n + CHUNK - 1) // CHUNK
+        pk = packed_ref[...]  # (CHUNK, PACKG)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        lvals = pk[:, 9:12].astype(jnp.int32)
 
-        def dma_in(c, slot):
-            return pltpu.make_async_copy(
-                packed_ref.at[pl.ds(start + c * CHUNK, CHUNK)],
-                pslab.at[slot], sem.at[slot],
+        def onehot(w_axis, lb, ids, valid):
+            off = ids - lb
+            out = jnp.zeros(ids.shape, jnp.float32)
+            for o in range(3):
+                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+            return out * valid
+
+        # z-axis weights over the padded z extent (CHUNK, RCOLS)
+        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+        Wz_c = Wz * zcol.astype(jnp.float32)  # * local z coordinate
+        # xy weights over the (a, b) plane (CHUNK, r2pad)
+        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+        T = Wx * Wy
+        T_a = T * a_col.astype(jnp.float32)
+        T_b = T * b_col.astype(jnp.float32)
+
+        outs = []
+        for ch in range(3):
+            R_ch = rvals[ch]  # (r2, RCOLS)
+            # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
+            gz = jax.lax.dot_general(
+                Wz, R_ch, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CHUNK, r2)
+            gzc = jax.lax.dot_general(
+                Wz_c, R_ch, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
+            gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))
+            s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)
+            s1a = jnp.sum(T_a * gz_p, axis=1)    # x-moment
+            s1b = jnp.sum(T_b * gz_p, axis=1)    # y-moment
+            s1c = jnp.sum(T * gzc_p, axis=1)     # z-moment
+            outs += [s0, s1a, s1b, s1c]
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma_in(0, 0).start()
+        # rows: [S0_x S0_y S0_z | S1 row-major (g_i x local_d)]
+        # outs layout per channel i: [s0_i, s1_ix, s1_iy, s1_iz]
+        packed_out = jnp.stack(
+            [outs[0], outs[4], outs[8],        # S0
+             outs[1], outs[2], outs[3],        # S1[0, :]
+             outs[5], outs[6], outs[7],        # S1[1, :]
+             outs[9], outs[10], outs[11]],     # S1[2, :]
+            axis=1,
+        )  # (CHUNK, 12)
+        out_ref[...] = jnp.pad(packed_out, ((0, 0), (0, OUTC - 12)))
 
-        def chunk_body(c, _):
-            slot = c % 2
-            dma_in(c, slot).wait()
-
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                dma_in(c + 1, 1 - slot).start()
-
-            pk = pslab[slot]  # (CHUNK, PACKG)
-            wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-            lvals = pk[:, 9:12].astype(jnp.int32)
-
-            def onehot(w_axis, lb, ids, valid):
-                off = ids - lb
-                out = jnp.zeros(ids.shape, jnp.float32)
-                for o in range(3):
-                    out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
-                return out * valid
-
-            # z-axis weights over the padded z extent (CHUNK, RCOLS)
-            Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
-            Wz_c = Wz * zcol.astype(jnp.float32)  # * local z coordinate
-            # xy weights over the (a, b) plane (CHUNK, r2pad)
-            Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
-            Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
-            T = Wx * Wy
-            T_a = T * a_col.astype(jnp.float32)
-            T_b = T * b_col.astype(jnp.float32)
-
-            outs = []
-            for ch in range(3):
-                R_ch = rvals[ch]  # (r2, RCOLS)
-                # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
-                gz = jax.lax.dot_general(
-                    Wz, R_ch, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (CHUNK, r2)
-                gzc = jax.lax.dot_general(
-                    Wz_c, R_ch, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
-                gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))
-                s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)
-                s1a = jnp.sum(T_a * gz_p, axis=1)    # x-moment
-                s1b = jnp.sum(T_b * gz_p, axis=1)    # y-moment
-                s1c = jnp.sum(T * gzc_p, axis=1)     # z-moment
-                outs += [s0, s1a, s1b, s1c]
-
-            # rows: [S0_x S0_y S0_z | S1 row-major (g_i x local_d)]
-            # outs layout per channel i: [s0_i, s1_ix, s1_iy, s1_iz]
-            packed_out = jnp.stack(
-                [outs[0], outs[4], outs[8],        # S0
-                 outs[1], outs[2], outs[3],        # S1[0, :]
-                 outs[5], outs[6], outs[7],        # S1[1, :]
-                 outs[9], outs[10], outs[11]],     # S1[2, :]
-                axis=1,
-            )  # (CHUNK, 12)
-            oslab[:, 0:12] = packed_out
-            cp_o = pltpu.make_async_copy(
-                oslab, out_ref.at[pl.ds(start + c * CHUNK, CHUNK)], sem.at[3]
-            )
-            cp_o.start()
-            cp_o.wait()
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    def g2p_blocks(packed, regions, starts, nb: int, n_pad: int):
+    def g2p_blocks(packed, regions, c2b, nb: int, n_pad: int):
+        nch = packed.shape[0] // CHUNK
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb * nb * nb,),
+            grid=(nch,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((CHUNK, PACKG), lambda i, c2b: (i, 0)),
+                pl.BlockSpec(
+                    (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                ),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((2, CHUNK, PACKG), jnp.float32),
-                pltpu.VMEM((3, r2, RCOLS), jnp.float32),
-                pltpu.VMEM((CHUNK, OUTC), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
+            out_specs=pl.BlockSpec((CHUNK, OUTC), lambda i, c2b: (i, 0)),
         )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pad, OUTC), jnp.float32),
             grid_spec=grid_spec,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(starts, packed, regions)
+        )(c2b, packed, regions)
 
     return g2p_blocks
 
@@ -230,17 +194,18 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
     rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)
     if not presorted:
         rows = rows[:, order]  # (12, NPAD); dummy rows' output is unread
-    rows = jnp.pad(rows, ((0, PACKG - 12), (0, 2 * CHUNK)))
-    packed = rows.T  # (NPAD + 2*CHUNK, PACKG)
+    rows = jnp.pad(rows, ((0, PACKG - 12), (0, 0)))
+    packed = rows.T  # (NPAD, PACKG)
+    c2b = chunk_to_block(starts, npad)
 
     regions = _build_regions(v_out, G, nb, m)
 
     fn = _make_g2p_blocks(m)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            out = fn(packed, regions, starts, nb, npad + 2 * CHUNK)
+            out = fn(packed, regions, c2b, nb, npad)
     else:
-        out = fn(packed, regions, starts, nb, npad + 2 * CHUNK)
+        out = fn(packed, regions, c2b, nb, npad)
 
     res = out[:npad, :12]  # slice BEFORE the unsort gather (12 vs 128 cols)
     if not presorted:

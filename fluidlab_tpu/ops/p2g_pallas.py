@@ -44,11 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.bspline import STENCIL
 from fluidlab_tpu.core.mat3 import mv_soa
-from fluidlab_tpu.ops.binning import BLOCK, Binning, compute_binning
+from fluidlab_tpu.ops.binning import (
+    ALIGN,
+    BLOCK,
+    Binning,
+    chunk_to_block,
+    compute_binning,
+)
 
 HALO = 2         # quadratic B-spline writes base..base+2
-CHUNK = 1024     # particles per MXU pass (large chunks amortize the
-                 # per-iteration DMA/loop overhead)
+CHUNK = ALIGN    # particles per grid step == the binning alignment, so
+                 # a chunk never straddles two blocks
 CPAD = 16        # feature channels padded (13 -> 16)
 PACK = 128  # packed per-particle row: [wx(3) wy(3) wz(3) lbase(3) feats(13)]
 
@@ -78,14 +84,18 @@ def _make_accumulate(m: int):
     r2pad = _r2pad(m)
     wcols = region * CPAD
 
-    def kernel(starts_ref, packed_ref, out_ref, acc_ref, slab, sem):
-        b = pl.program_id(0)
-        # block ranges are ALIGN(=8)-aligned by construction (binning.py)
-        start = pl.multiple_of(starts_ref[b], 8)
-        end = starts_ref[b + 1]
-        n = end - start
+    def kernel(c2b_ref, packed_ref, out_ref):
+        i = pl.program_id(0)
+        # first chunk of a block zeroes its accumulator (chunk->block is
+        # non-decreasing; the managed out block stays resident across
+        # consecutive programs with the same index)
+        first = jnp.where(
+            i == 0, True, c2b_ref[i] != c2b_ref[jnp.maximum(i - 1, 0)]
+        )
 
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(first)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
         # constant index maps, built in-kernel from iota (pallas kernels
         # may not capture host constants)
@@ -100,83 +110,50 @@ def _make_accumulate(m: int):
         p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
         p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
 
-        n_chunks = (n + CHUNK - 1) // CHUNK
+        pk = packed_ref[...]  # (CHUNK, PACK)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        lvals = pk[:, 9:12].astype(jnp.int32)
+        fvals = pk[:, 12:12 + CPAD]
 
-        def dma(c, slot):
-            return pltpu.make_async_copy(
-                packed_ref.at[pl.ds(start + c * CHUNK, CHUNK)],
-                slab.at[slot], sem.at[slot],
-            )
+        def onehot_w(w_axis, lb, cell_ids):
+            # W[p, col] = w_axis[p, cell_ids[col] - lb[p]], offsets 0..2
+            off = cell_ids - lb
+            out = jnp.zeros(cell_ids.shape, jnp.float32)
+            for o in range(3):
+                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+            return out
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma(0, 0).start()
+        # T[p, col] = Wx(a(col)) * Wy(b(col)), zero outside r2.  Dummy
+        # slots contribute zero: their feats are zeroed (used mask /
+        # binning valid), so no per-chunk validity mask is needed.
+        T = (
+            onehot_w(wvals[0], lvals[:, 0:1], a_col)
+            * onehot_w(wvals[1], lvals[:, 1:2], b_col)
+            * col_valid
+        )
+        # W2[p, wcol] = Wz(c(wcol)) * feats[p, f(wcol)]
+        feats_tiled = jax.lax.dot_general(
+            fvals, p_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, wcols)
+        W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        def chunk_body(c, _):
-            slot = c % 2
-            dma(c, slot).wait()
+        out_ref[0] += jax.lax.dot_general(
+            T, W2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (r2pad, wcols)
 
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                dma(c + 1, 1 - slot).start()
-
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                + c * CHUNK < n
-            ).astype(jnp.float32)
-
-            pk = slab[slot]  # (CHUNK, PACK)
-            wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-            lvals = pk[:, 9:12].astype(jnp.int32)
-            fvals = pk[:, 12:12 + CPAD]
-
-            def onehot_w(w_axis, lb, cell_ids):
-                # W[p, col] = w_axis[p, cell_ids[col] - lb[p]], offsets 0..2
-                off = cell_ids - lb
-                out = jnp.zeros(cell_ids.shape, jnp.float32)
-                for o in range(3):
-                    out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
-                return out
-
-            # T[p, col] = Wx(a(col)) * Wy(b(col)), zero outside r2/past n
-            T = (
-                onehot_w(wvals[0], lvals[:, 0:1], a_col)
-                * onehot_w(wvals[1], lvals[:, 1:2], b_col)
-                * col_valid
-                * valid
-            )
-            # W2[p, wcol] = Wz(c(wcol)) * feats[p, f(wcol)]
-            feats_tiled = jax.lax.dot_general(
-                fvals, p_tile, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (CHUNK, wcols)
-            W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
-
-            acc_ref[...] += jax.lax.dot_general(
-                T, W2, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (r2pad, wcols)
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-        out_ref[0, :, :] = acc_ref[...]
-
-    def accumulate(packed, starts, nb: int):
+    def accumulate(packed, c2b, nb: int):
+        nch = packed.shape[0] // CHUNK
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb * nb * nb,),
+            grid=(nch,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((CHUNK, PACK), lambda i, c2b: (i, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, r2pad, wcols), lambda b, *_: (b, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, r2pad, wcols), lambda i, c2b: (c2b[i], 0, 0),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((r2pad, wcols), jnp.float32),
-                pltpu.VMEM((2, CHUNK, PACK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
         )
         return pl.pallas_call(
             kernel,
@@ -184,13 +161,13 @@ def _make_accumulate(m: int):
                 (nb * nb * nb, r2pad, wcols), jnp.float32
             ),
             grid_spec=grid_spec,
-        )(starts, packed)
+        )(c2b, packed)
 
     return accumulate
 
 
-def _accumulate_blocks(packed, starts, nb: int, m: int = 0):
-    return _make_accumulate(m)(packed, starts, nb)
+def _accumulate_blocks(packed, c2b, nb: int, m: int = 0):
+    return _make_accumulate(m)(packed, c2b, nb)
 
 
 # ------------------------------------------------------- overlap-add (XLA)
@@ -279,14 +256,15 @@ def _p2g_core_impl(w, lbase_global, feats, order, valid, starts, block,
         rows = rows[:, order]  # (25, NPAD)
         # dummy slots alias particle 0: kill their stencil weights
         rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
-    rows = jnp.pad(rows, ((0, PACK - 25), (0, 2 * CHUNK)))
-    packed = rows.T  # (NPAD + 2*CHUNK, PACK)
+    rows = jnp.pad(rows, ((0, PACK - 25), (0, 0)))
+    packed = rows.T  # (NPAD, PACK)
+    c2b = chunk_to_block(starts, packed.shape[0])
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            blocks = _accumulate_blocks(packed, starts, nb, m)
+            blocks = _accumulate_blocks(packed, c2b, nb, m)
     else:
-        blocks = _accumulate_blocks(packed, starts, nb, m)
+        blocks = _accumulate_blocks(packed, c2b, nb, m)
     return _overlap_add(blocks, nb, G, m)
 
 
