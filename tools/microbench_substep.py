@@ -87,10 +87,14 @@ def main():
         s = s1
         for _ in range(reps):
             s = chain(s)
-        jax.block_until_ready(s)
+        # checksum forces real materialization (guards against lazy /
+        # eliminated computation skewing the timing)
+        csum = float(jnp.sum(s.particles.v)) + float(jnp.sum(s.particles.x))
         dt = (time.perf_counter() - t0) / (reps * inner)
-        print(f"substep[{impl:8s}] {dt * 1e3:9.3f} ms  "
-              f"({1.0 / dt:8.1f} substeps/s)", flush=True)
+        tag = os.environ.get("FL_ABLATE", "")
+        print(f"substep[{impl:8s}{('|' + tag) if tag else ''}] "
+              f"{dt * 1e3:9.3f} ms  ({1.0 / dt:8.1f} substeps/s)  "
+              f"csum={csum:.4f}", flush=True)
 
 
 if __name__ == "__main__":
