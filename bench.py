@@ -43,11 +43,10 @@ def main():
     on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
     p2g = os.environ.get("BENCH_P2G") or ("pallas" if on_tpu else "scatter")
     g2p = os.environ.get("BENCH_G2P") or ("pallas" if on_tpu else "gather")
-    # persistent once-per-step binning: the TPU fast path (argsort and
-    # permutation gathers amortized over the 10 substeps — RESULTS.md)
-    bmode = os.environ.get("BENCH_BINNING") or (
-        "step" if (on_tpu and "pallas" in (p2g, g2p)) else "substep"
-    )
+    # binning mode: 'substep' (exact, fastest measured so far) or 'step'
+    # (persistent once-per-step binning — currently slower on TPU, see
+    # RESULTS.md; flip via BENCH_BINNING once the regression is fixed)
+    bmode = os.environ.get("BENCH_BINNING") or "substep"
     import dataclasses
 
     cfg = dataclasses.replace(

@@ -287,17 +287,10 @@ class FluidSim:
             on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
             mode = "pallas" if (on_tpu and self.quality == 1) else "portable"
         if mode == "pallas" and n_particles > 0:
-            margin = 2
-            if agent_cfg is not None and any(
-                e.kind == "ball_injector" for e in agent_cfg.effectors
-            ):
-                # ball spawn offsets reach radius*G cells from the
-                # predicted center (envs use radius <= 0.035 -> 2.24)
-                margin = 3
-            impl_kwargs = dict(
-                p2g_impl="pallas", g2p_impl="pallas",
-                binning_mode="step", binning_margin=margin,
-            )
+            # exact per-substep binning: the fastest measured TPU config
+            # (RESULTS.md).  binning_mode='step' (persistent sorting)
+            # currently regresses on TPU; revisit when fixed.
+            impl_kwargs = dict(p2g_impl="pallas", g2p_impl="pallas")
         else:
             impl_kwargs = {}
 

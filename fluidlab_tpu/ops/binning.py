@@ -27,10 +27,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import os as _os
+
 BLOCK = 16   # cells per block edge
-ALIGN = 128  # slot alignment of block ranges = the kernels' chunk size
-             # (every block owns >= 1 chunk, so every managed out block
-             # is written; chunks never straddle blocks)
+# slot alignment of block ranges = the kernels' chunk size (every block
+# owns >= 1 chunk, so every managed out block is written; chunks never
+# straddle blocks).  FL_ALIGN env: perf experiments only.
+ALIGN = int(_os.environ.get("FL_ALIGN", "128"))
 
 
 class Binning(NamedTuple):

@@ -39,6 +39,10 @@ def main():
             cfg = dataclasses.replace(
                 cfg, p2g_impl="pallas", g2p_impl="pallas"
             )
+        elif impl == "pallas2m2":  # exact binning, widened (m=2) regions
+            cfg = dataclasses.replace(
+                cfg, p2g_impl="pallas", g2p_impl="pallas", binning_margin=2
+            )
         elif impl == "persist":  # pallas2 + once-per-step binning
             cfg = dataclasses.replace(
                 cfg, p2g_impl="pallas", g2p_impl="pallas",
