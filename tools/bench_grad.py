@@ -43,18 +43,23 @@ def main():
     step = make_step(cfg)
     ha = jnp.asarray(False)
 
-    def loss_fn(actions, s0):
+    # differentiate w.r.t. the initial velocity: a real gradient path
+    # through every substep (this scene has no agent, so action grads
+    # would be identically zero and XLA would eliminate the backward)
+    def loss_fn(v0, s0):
+        s0 = s0.replace(particles=s0.particles.replace(v=v0))
+
         def body(s, a):
             s1 = step(s, params, a, ha)
             return s1, jnp.sum(s1.particles.v ** 2)
+        actions = jnp.zeros((H, 1), jnp.float32)
         sH, per_step = checkpointed_scan(body, s0, actions, window=5)
         return jnp.sum(per_step) + jnp.sum(jnp.abs(sH.particles.x))
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
-    actions = jnp.zeros((H, 1), jnp.float32)
 
     t0 = time.perf_counter()
-    val, g = vg(actions, state)
+    val, g = vg(state.particles.v, state)
     jax.block_until_ready((val, g))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
           f"loss={float(val):.3f}", flush=True)
@@ -62,7 +67,7 @@ def main():
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        val, g = vg(actions, state)
+        val, g = vg(state.particles.v, state)
     jax.block_until_ready((val, g))
     dt = (time.perf_counter() - t0) / reps
     per_substep = dt / (H * cfg.n_substeps)
