@@ -143,12 +143,12 @@ def _make_g2p_blocks(m: int):
 
 
 def _build_regions(v_out, G: int, nb: int, m: int = 0):
-    """(3, G^3) grid -> (NB^3, 3, r2, RCOLS) overlapping halo regions via
+    """(C, G^3) grid -> (NB^3, C, r2, RCOLS) overlapping halo regions via
     static slices (no gathers).  Region of block b covers global cells
     [b*BLOCK - m, b*BLOCK - m + region)."""
     region = _region(m)
     hx = region - BLOCK  # hi-side overlap pulled from the next block
-    v4 = v_out.reshape(3, G, G, G)
+    v4 = v_out.reshape(v_out.shape[0], G, G, G)
     v4p = jnp.pad(v4, ((0, 0), (m, BLOCK), (m, BLOCK), (m, BLOCK)))
 
     def split_axis(arr, axis):
@@ -168,7 +168,7 @@ def _build_regions(v_out, G: int, nb: int, m: int = 0):
     r = split_axis(r, 3)        # (3, NB, R, NB, R, G+p)
     r = split_axis(r, 5)        # (3, NB, R, NB, R, NB, R)
     r = r.transpose(1, 3, 5, 0, 2, 4, 6).reshape(
-        nb * nb * nb, 3, region * region, region
+        nb * nb * nb, v_out.shape[0], region * region, region
     )
     return jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, RCOLS - region)))
 
@@ -228,11 +228,11 @@ def _g2p_core_fwd(w, base, v_out, order, valid, inv, starts, block,
         w, base, v_out, order, valid, inv, starts, block, G, m, presorted,
         interpret,
     )
-    return out, (w, base, v_out, order, valid, starts, block)
+    return out, (w, base, v_out, order, valid, inv, starts, block)
 
 
 def _g2p_core_bwd(G, m, presorted, interpret, res, cots):
-    w, base, v_out, order, valid, starts, block = res
+    w, base, v_out, order, valid, inv, starts, block = res
     S0bar, S1bar = cots  # (3, N), (9, N)
 
     # d_v_out: scatter of values affine in the cell index:
@@ -243,7 +243,7 @@ def _g2p_core_bwd(G, m, presorted, interpret, res, cots):
         [S0bar, S1bar, jnp.zeros((1, S0bar.shape[-1]), S0bar.dtype)], axis=0
     )
     grid13 = _p2g_core(
-        w, base, feats, order, valid, starts, block, G, m, presorted,
+        w, base, feats, order, valid, inv, starts, block, G, m, presorted,
         interpret,
     )  # (13, G^3)
     ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0).reshape(-1)
@@ -256,23 +256,23 @@ def _g2p_core_bwd(G, m, presorted, interpret, res, cots):
         for i in range(3)
     ])
 
-    # d_w: stencil gathers (backward only; forward is gather-free)
-    d_w = jnp.zeros_like(w)
-    for (oi, oj, ok) in [tuple(int(x) for x in o) for o in STENCIL]:
-        idx = (base[0] + oi) * (G * G) + (base[1] + oj) * G + (base[2] + ok)
-        g = v_out[:, idx]  # (3, N)
-        cellw = [
-            (base[0] + oi).astype(jnp.float32),
-            (base[1] + oj).astype(jnp.float32),
-            (base[2] + ok).astype(jnp.float32),
-        ]
-        e = sum(
-            g[i] * (S0bar[i] + sum(S1bar[3 * i + d] * cellw[d] for d in range(3)))
-            for i in range(3)
-        )
-        d_w = d_w.at[oi, 0].add(w[oj, 1] * w[ok, 2] * e)
-        d_w = d_w.at[oj, 1].add(w[oi, 0] * w[ok, 2] * e)
-        d_w = d_w.at[ok, 2].add(w[oi, 0] * w[oj, 1] * e)
+    # d_w via the gather-free moment-backward kernel: the cotangent
+    # contracts as e(cell) = sum_i g_i (S0bar_i + sum_d S1bar_id cell_d)
+    # = sum_c feats12[c] grids12[c, cell] with grids12 = [g | g x cell_d]
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+
+    grids12 = jnp.concatenate([
+        v_out,
+        jnp.concatenate([
+            v_out[i][None, :] * cell[d][None, :]
+            for i in range(3) for d in range(3)
+        ], axis=0),
+    ], axis=0)  # (12, G^3)
+    feats12 = jnp.concatenate([S0bar, S1bar], axis=0)
+    _, d_w = transfer_bwd(
+        w, base, feats12, grids12, order, valid, inv, starts, block,
+        G, m, presorted, interpret,
+    )
     return d_w, None, d_v, None, None, None, None, None
 
 

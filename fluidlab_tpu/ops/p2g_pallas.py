@@ -220,8 +220,8 @@ def _overlap_add(blocks, nb: int, G: int, m: int = 0, nchan: int = 13):
 
 # ----------------------------------------------------------- the public op
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _p2g_core(w, lbase_global, feats, order, valid, starts, block,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _p2g_core(w, lbase_global, feats, order, valid, inv, starts, block,
               G: int, m: int, presorted: bool, interpret: bool):
     """grid13 = sum_p W_p(cell) * feats[p]; W from axis weights w and
     integer base cells.  Linear in feats; weights differentiable.
@@ -233,7 +233,7 @@ def _p2g_core(w, lbase_global, feats, order, valid, starts, block,
     assumed masked upstream via the used mask).
     """
     return _p2g_core_fwd(
-        w, lbase_global, feats, order, valid, starts, block, G, m,
+        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
         presorted, interpret,
     )[0]
 
@@ -268,35 +268,28 @@ def _p2g_core_impl(w, lbase_global, feats, order, valid, starts, block,
     return _overlap_add(blocks, nb, G, m)
 
 
-def _p2g_core_fwd(w, lbase_global, feats, order, valid, starts, block,
+def _p2g_core_fwd(w, lbase_global, feats, order, valid, inv, starts, block,
                   G, m, presorted, interpret):
     out = _p2g_core_impl(
         w, lbase_global, feats, order, valid, starts, block, G, m,
         presorted, interpret,
     )
-    return out, (w, lbase_global, feats)
+    return out, (w, lbase_global, feats, order, valid, inv, starts, block)
 
 
 def _p2g_core_bwd(G, m, presorted, interpret, res, gbar):
-    """Transpose: 27-point gathers of the grid cotangent (fast XLA)."""
-    w, lbase, feats = res
-    gb = gbar  # (13, G^3)
-    d_w = jnp.zeros_like(w)
-    d_feats = jnp.zeros_like(feats)
-    for (oi, oj, ok) in [tuple(int(v) for v in o) for o in STENCIL]:
-        idx = (
-            (lbase[0] + oi) * (G * G)
-            + (lbase[1] + oj) * G
-            + (lbase[2] + ok)
-        )
-        gc = gb[:, idx]  # (13, N)
-        e = jnp.sum(gc * feats, axis=0)  # (N,)
-        wprod = w[oi, 0] * w[oj, 1] * w[ok, 2]
-        d_feats = d_feats + wprod[None, :] * gc
-        d_w = d_w.at[oi, 0].add(w[oj, 1] * w[ok, 2] * e)
-        d_w = d_w.at[oj, 1].add(w[oi, 0] * w[ok, 2] * e)
-        d_w = d_w.at[ok, 2].add(w[oi, 0] * w[oj, 1] * e)
-    return d_w, None, d_feats, None, None, None, None
+    """Transpose via the gather-free moment-backward kernel
+    (ops/transfer_bwd_pallas.py): the grid cotangent (13, G^3) plays the
+    channel grids, the forward features are the contraction
+    coefficients."""
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+
+    w, lbase, feats, order, valid, inv, starts, block = res
+    d_feats, d_w = transfer_bwd(
+        w, lbase, feats, gbar, order, valid, inv, starts, block,
+        G, m, presorted, interpret,
+    )
+    return d_w, None, d_feats, None, None, None, None, None
 
 
 _p2g_core.defvjp(_p2g_core_fwd, _p2g_core_bwd)
@@ -317,8 +310,8 @@ def p2g_pallas(base, fx, w, usedf, mass, v, affine, G, dx,
     ) * usedf[None, :]  # (13, N)
 
     grid13 = _p2g_core(
-        w, base, feats, binning.order, binning.valid, binning.starts,
-        binning.block, G, m, presorted, interpret,
+        w, base, feats, binning.order, binning.valid, binning.inv,
+        binning.starts, binning.block, G, m, presorted, interpret,
     )  # (13, G^3)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
