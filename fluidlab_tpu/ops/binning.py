@@ -51,12 +51,20 @@ def padded_size(n: int, G: int) -> int:
     return ((n + ALIGN - 1) // ALIGN) * ALIGN + nb * nb * nb * ALIGN
 
 
+_MODE = _os.environ.get("FL_BINNING", "count")  # 'count' | 'argsort'
+
+
 def compute_binning(base, G: int) -> Binning:
     """Bin particles by the block of their (clipped) base cell.
 
     ``base`` (3, N) int32 must already be clipped to [0, G-3] (the
     B-spline stencil clip), so block indices are in range by
     construction.
+
+    Default strategy is a **counting sort**: block ids take only NB^3
+    (= 64 at 64^3) values, so ranks come from a one-hot cumulative sum
+    and the permutation from unique-index scatters — no argsort (XLA's
+    bitonic sort costs ~10 ms per 65k keys on TPU, RESULTS.md).
     """
     N = base.shape[-1]
     nb = G // BLOCK
@@ -65,6 +73,31 @@ def compute_binning(base, G: int) -> Binning:
 
     block = base // BLOCK  # (3, N)
     bid = (block[0] * nb + block[1]) * nb + block[2]
+
+    if _MODE == "count":
+        onehot = (
+            bid[:, None] == jnp.arange(nb3, dtype=jnp.int32)[None, :]
+        ).astype(jnp.int32)  # (N, nb3)
+        counts = jnp.sum(onehot, axis=0)
+        within = jnp.cumsum(onehot, axis=0)  # inclusive prefix per block
+        rank_in_block = (
+            jnp.take_along_axis(within, bid[:, None], axis=1)[:, 0] - 1
+        )
+        cpad = jnp.maximum((counts + ALIGN - 1) // ALIGN, 1) * ALIGN
+        pstart = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)
+        ])
+        inv = pstart[bid] + rank_in_block
+        order = jnp.zeros((npad,), jnp.int32).at[inv].set(
+            jnp.arange(N, dtype=jnp.int32), unique_indices=True,
+            indices_are_sorted=False,
+        )
+        valid = jnp.zeros((npad,), jnp.float32).at[inv].set(
+            1.0, unique_indices=True
+        )
+        return Binning(order=order, valid=valid, inv=inv, starts=pstart,
+                       block=block)
+
     order0 = jnp.argsort(bid)   # rank -> id
     rank = jnp.argsort(order0)  # id -> rank
     sorted_bid = bid[order0]

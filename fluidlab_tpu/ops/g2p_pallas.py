@@ -21,8 +21,9 @@ binning with the particle state kept in sorted order across substeps.
 
 The op is linear in the grid: the grid cotangent in the VJP is exactly a
 P2G transfer of the output cotangents (values affine in the cell index),
-computed with the fast Pallas P2G core; only the weight cotangents fall
-back to stencil gathers.
+computed with the fast Pallas P2G core; the weight cotangents come from
+the moment-backward kernel (ops/transfer_bwd_pallas.py).  Fully
+gather-free in both directions.
 """
 
 from __future__ import annotations
@@ -34,7 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fluidlab_tpu.core.bspline import STENCIL
 from fluidlab_tpu.ops.binning import (
     ALIGN,
     BLOCK,

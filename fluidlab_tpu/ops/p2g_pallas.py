@@ -29,8 +29,9 @@ accumulates the 13 per-particle coefficients [b | A | m] and the cell
 contraction happens once at the end.
 
 The op is linear in its feature inputs given the (non-differentiable)
-cell assignment, so the custom VJP is a 27-point gather of the grid
-cotangent — pure fast XLA, no scatter in either direction.
+cell assignment; the custom VJP runs the gather-free moment-backward
+kernel (ops/transfer_bwd_pallas.py) — no scatter or gather in either
+direction.
 """
 
 from __future__ import annotations
@@ -42,7 +43,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fluidlab_tpu.core.bspline import STENCIL
 from fluidlab_tpu.core.mat3 import mv_soa
 from fluidlab_tpu.ops.binning import (
     ALIGN,
