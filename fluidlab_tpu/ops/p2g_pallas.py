@@ -84,18 +84,23 @@ def _make_accumulate(m: int):
     r2pad = _r2pad(m)
     wcols = region * CPAD
 
-    def kernel(c2b_ref, packed_ref, out_ref):
+    def kernel(c2b_ref, packed_ref, out_ref, acc_ref):
         i = pl.program_id(0)
-        # first chunk of a block zeroes its accumulator (chunk->block is
-        # non-decreasing; the managed out block stays resident across
-        # consecutive programs with the same index)
+        nch = pl.num_programs(0)
+        # accumulate in VMEM scratch; the out block is written ONCE per
+        # block (chunk->block is non-decreasing), keeping the managed
+        # out pipeline free of per-program read-modify-write chains
         first = jnp.where(
             i == 0, True, c2b_ref[i] != c2b_ref[jnp.maximum(i - 1, 0)]
+        )
+        last = jnp.where(
+            i == nch - 1, True,
+            c2b_ref[i] != c2b_ref[jnp.minimum(i + 1, nch - 1)],
         )
 
         @pl.when(first)
         def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
         # constant index maps, built in-kernel from iota (pallas kernels
         # may not capture host constants)
@@ -138,10 +143,14 @@ def _make_accumulate(m: int):
         )  # (CHUNK, wcols)
         W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        out_ref[0] += jax.lax.dot_general(
+        acc_ref[...] += jax.lax.dot_general(
             T, W2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (r2pad, wcols)
+
+        @pl.when(last)
+        def _():
+            out_ref[0] = acc_ref[...]
 
     def accumulate(packed, c2b, nb: int):
         nch = packed.shape[0] // CHUNK
@@ -154,6 +163,9 @@ def _make_accumulate(m: int):
             out_specs=pl.BlockSpec(
                 (1, r2pad, wcols), lambda i, c2b: (c2b[i], 0, 0),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((r2pad, wcols), jnp.float32),
+            ],
         )
         return pl.pallas_call(
             kernel,
