@@ -27,6 +27,7 @@ class FluidEnv(gym.Env):
     gravity = (0.0, -10.0, 0.0)
 
     pool_scale = 1.0  # scales 'nowhere' pools (debug scale-down)
+    transfer = "auto"  # particle-grid transfer impl (engine/sim.py)
 
     def __init__(self, loss=True, loss_type="diff", seed=None,
                  renderer_type="point", particle_density=None,
@@ -50,6 +51,7 @@ class FluidEnv(gym.Env):
             max_substeps_local=self.max_substeps_local,
             gravity=self.gravity,
             horizon=self.horizon,
+            transfer=self.transfer,
         )
         self.build_env()
         self.gym_misc()
