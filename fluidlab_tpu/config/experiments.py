@@ -38,6 +38,31 @@ EXPERIMENTS = {
             optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
         ),
     ),
+    # reference exp_latteart_dph.yaml: randomized-v variant of latteart
+    "latteart_dph": dict(
+        EXP=dict(seed=0, env_name="LatteArt-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.00, 0.0, 0.0), (0.01, 0.0, 0.0)),
+                p=((0.5, 0.73, 0.5), (0.5, 0.73, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    # reference exp_gathering_dph.yaml (its 'Gathering-v0' is unregistered
+    # in the reference; mapped to the implemented easy variant)
+    "gathering_dph": dict(
+        EXP=dict(seed=0, env_name="GatheringEasy-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.55, 0.45, 0.5), (0.55, 0.45, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
     "latteart_stir": dict(
         EXP=dict(seed=0, env_name="LatteArtStir-v0"),
         SOLVER=dict(

@@ -58,10 +58,13 @@ class PointRenderer:
             used = np.asarray(sim.state.particles.used)
             R, cam = self._view_matrix()
             pts = (x[used] - cam) @ R.T
+            # colors only apply when the state matches the built scene's
+            # particle set (a replayed target recorded at a different
+            # density has its own N -> neutral color)
             colors = (
                 self.colors[used]
-                if self.colors is not None
-                else np.full((used.sum(), 3), 0.6, np.float32)
+                if self.colors is not None and len(self.colors) == len(used)
+                else np.full((int(used.sum()), 3), 0.6, np.float32)
             )
             z = -pts[:, 2]
             valid = z > 1e-3

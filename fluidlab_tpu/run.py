@@ -28,11 +28,18 @@ def get_args():
     parser.add_argument("--loss_type", type=str, default="diff")
     parser.add_argument("--particle_density", type=float, default=None,
                         help="override particle density (debug scale-down)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu, tpu)")
     return parser.parse_args()
 
 
 def main():
     args = get_args()
+
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from fluidlab_tpu.config.experiments import load_config
     from fluidlab_tpu.envs import make
