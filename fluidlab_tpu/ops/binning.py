@@ -135,6 +135,37 @@ def compute_binning(base, G: int) -> Binning:
     )
 
 
+# How the kernels move per-particle rows between particle order and the
+# padded slot order.  'gather' (default): rows[:, order] / res[inv] —
+# plain XLA gathers.  'scatter': unique-index scatters by the inverse
+# map — XLA lowers duplicate-free scatter-set without the sort, and TPU
+# gathers at N-scale index sets are slow (RESULTS.md), so this can be
+# the cheaper direction.  Numerically identical (dummy slots become
+# zeros instead of aliasing particle 0; both are inert downstream).
+_PACK_MODE = _os.environ.get("FL_PACK", "gather")
+
+
+def pack_rows(rows, order, inv):
+    """(R, N) particle-order rows -> (R, NPAD) padded slot order."""
+    if _PACK_MODE == "scatter":
+        npad = order.shape[0]
+        out = jnp.zeros(rows.shape[:-1] + (npad,), rows.dtype)
+        return out.at[..., inv].set(rows, unique_indices=True)
+    return rows[..., order]
+
+
+def unpack_rows(res, order, valid, inv):
+    """(NPAD, C) slot-order rows -> (N, C) particle order (drops
+    dummies)."""
+    if _PACK_MODE == "scatter":
+        n = inv.shape[0]
+        idx = jnp.where(valid > 0.5, order, n)  # dummies -> trash row
+        out = jnp.zeros((n + 1,) + res.shape[1:], res.dtype)
+        out = out.at[idx].set(res, unique_indices=True)
+        return out[:n]
+    return res[inv]
+
+
 def chunk_to_block(starts, npad: int):
     """(NCH,) int32: owning block of each ALIGN-slot chunk.  Chunks past
     ``starts[-1]`` (the static-padding tail) map to the last block; their

@@ -193,7 +193,9 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
     lb = (base - block * BLOCK + m).astype(jnp.float32)
     rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)
     if not presorted:
-        rows = rows[:, order]  # (12, NPAD); dummy rows' output is unread
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)  # (12, NPAD); dummies unread
     rows = jnp.pad(rows, ((0, PACKG - 12), (0, 0)))
     packed = rows.T  # (NPAD, PACKG)
     c2b = chunk_to_block(starts, npad)
@@ -207,9 +209,11 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
     else:
         out = fn(packed, regions, c2b, nb, npad)
 
-    res = out[:npad, :12]  # slice BEFORE the unsort gather (12 vs 128 cols)
+    res = out[:npad, :12]  # slice BEFORE the unsort (12 vs 128 cols)
     if not presorted:
-        res = res[inv]  # back to original particle order, drops dummies
+        from fluidlab_tpu.ops.binning import unpack_rows
+
+        res = unpack_rows(res, order, valid, inv)  # particle order
     res_t = res.T  # (12, N)
     S0 = res_t[:3]
     S1loc = res_t[3:12]

@@ -55,7 +55,11 @@ from fluidlab_tpu.ops.binning import (
 HALO = 2         # quadratic B-spline writes base..base+2
 CHUNK = ALIGN    # particles per grid step == the binning alignment, so
                  # a chunk never straddles two blocks
-CPAD = 16        # feature channels padded (13 -> 16)
+# feature-channel padding of the packed rows (13 real channels).  16 is
+# the historical default; 13 drops a third lane tile from the kernel's
+# (r2pad, region*CPAD) accumulator (288 -> 234 cols at m=0).  FL_CPAD:
+# perf experiments.
+CPAD = int(__import__("os").environ.get("FL_CPAD", "16"))
 PACK = 128  # packed per-particle row: [wx(3) wy(3) wz(3) lbase(3) feats(13)]
 
 
@@ -250,8 +254,8 @@ def _p2g_core(w, lbase_global, feats, order, valid, inv, starts, block,
     )[0]
 
 
-def _p2g_core_impl(w, lbase_global, feats, order, valid, starts, block,
-                   G, m, presorted, interpret):
+def _p2g_core_impl(w, lbase_global, feats, order, valid, inv, starts,
+                   block, G, m, presorted, interpret):
     """w (3 off, 3 ax, N), lbase_global (3, N) int32, feats (13, N)."""
     nb = G // BLOCK
 
@@ -265,8 +269,11 @@ def _p2g_core_impl(w, lbase_global, feats, order, valid, starts, block,
         [w[:, 0], w[:, 1], w[:, 2], lb, feats], axis=0
     )  # (25, N)
     if not presorted:
-        rows = rows[:, order]  # (25, NPAD)
-        # dummy slots alias particle 0: kill their stencil weights
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)  # (25, NPAD)
+        # gather-packed dummy slots alias particle 0: kill their stencil
+        # weights (scatter-packed dummies are already zero)
         rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
     rows = jnp.pad(rows, ((0, PACK - 25), (0, 0)))
     packed = rows.T  # (NPAD, PACK)
@@ -283,7 +290,7 @@ def _p2g_core_impl(w, lbase_global, feats, order, valid, starts, block,
 def _p2g_core_fwd(w, lbase_global, feats, order, valid, inv, starts, block,
                   G, m, presorted, interpret):
     out = _p2g_core_impl(
-        w, lbase_global, feats, order, valid, starts, block, G, m,
+        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
         presorted, interpret,
     )
     return out, (w, lbase_global, feats, order, valid, inv, starts, block)

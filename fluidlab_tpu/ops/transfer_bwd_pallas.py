@@ -292,7 +292,9 @@ def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
         [w[:, 0], w[:, 1], w[:, 2], lb, feats], axis=0
     )  # (12 + C, N)
     if not presorted:
-        rows = rows[:, order]
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)
     rows = jnp.pad(rows, ((0, PACKB - 12 - C), (0, 0)))
     packed = rows.T  # (NPAD, PACKB)
     c2b = chunk_to_block(starts, npad)
@@ -311,7 +313,9 @@ def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
 
     res = out[:npad, :C + 9]
     if not presorted:
-        res = res[inv]
+        from fluidlab_tpu.ops.binning import unpack_rows
+
+        res = unpack_rows(res, order, valid, inv)
     res_t = res.T  # (C + 9, N)
     d_feats = res_t[:C]
     d_w = res_t[C:].reshape(3, 3, -1).transpose(1, 0, 2)  # (off, ax, N)
