@@ -54,6 +54,12 @@ from fluidlab_tpu.engine.types import EffectorState, ParticleState, SimState
 
 EPS = M.EPS  # 1e-12 (reference macros.py:213)
 
+# injection formulation: 'cond' (lax.cond around the scatter-set, the
+# original form) or 'mask' (always-run, gate-blended).  See _inject.
+import os as _os
+
+_INJECT_MODE = _os.environ.get("FL_INJECT", "cond")
+
 
 # --------------------------------------------------------------------------
 # agent sub-behaviors (static structure from AgentCfg)
@@ -156,6 +162,42 @@ def _inject(
             v_n = v_n.at[d, idx].set(vi[:, d])
         used_n = used_n.at[idx].set(True)
         return x_n, v_n, used_n, act_id + flux
+
+    if _INJECT_MODE == "mask":
+        # cond-free form: always run the injection computation and blend
+        # by the gate with tiny (flux,)-sized gathers of the old values.
+        # Semantically identical to the lax.cond form; exists because
+        # the cond+scatter transpose is implicated in a TPU worker
+        # crash at large N x horizon (RESULTS.md round-2 bisection).
+        x_n, v_n, used_n, act_id = x_next, v_next, used_next, eff.act_id
+        idx = jax.lax.dynamic_slice(act_range, (act_id,), (flux,))
+        if slot_of_id is not None:
+            idx = slot_of_id[idx]
+        rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
+        inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
+        if ecfg.kind == "ball_injector":
+            xi = rv + eff.pos
+            vi = jnp.broadcast_to(inject_v, (flux, 3))
+        else:
+            offset = (rv * 2.0 - 1.0) * ecfg.radius
+            inject_p = quat_ops.transform_by_quat(
+                jnp.asarray(ecfg.inject_p, dtype=x_n.dtype), eff.quat
+            )
+            xi = offset + eff.pos + inject_p
+            vdir = quat_ops.transform_by_quat(inject_v, eff.quat)
+            if ecfg.randomize_inject_v:
+                vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
+            else:
+                vi = jnp.broadcast_to(vdir, (flux, 3))
+        for d in range(3):
+            x_n = x_n.at[d, idx].set(
+                jnp.where(gate, xi[:, d], x_n[d, idx])
+            )
+            v_n = v_n.at[d, idx].set(
+                jnp.where(gate, vi[:, d], v_n[d, idx])
+            )
+        used_n = used_n.at[idx].set(gate | used_n[idx])
+        return x_n, v_n, used_n, act_id + flux * gate.astype(jnp.int32)
 
     return jax.lax.cond(
         gate, do_inject, lambda ops: ops, (x_next, v_next, used_next, eff.act_id)
