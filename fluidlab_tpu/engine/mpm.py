@@ -54,11 +54,30 @@ from fluidlab_tpu.engine.types import EffectorState, ParticleState, SimState
 
 EPS = M.EPS  # 1e-12 (reference macros.py:213)
 
-# injection formulation: 'cond' (lax.cond around the scatter-set, the
-# original form) or 'mask' (always-run, gate-blended).  See _inject.
+# agent-path formulation knobs (TPU crash bisection, RESULTS.md):
+# FL_INJECT: 'cond' (lax.cond around the scatter-set) | 'mask'
+#   (always-run, gate-blended) -- see _inject.
+# FL_AGENT_COND: 'cond' (lax.cond around set_action / effector moves) |
+#   'mask' (always-run, where-blended poses/velocities).
 import os as _os
 
 _INJECT_MODE = _os.environ.get("FL_INJECT", "cond")
+_AGENT_COND_MODE = _os.environ.get("FL_AGENT_COND", "cond")
+
+
+def _blend_effectors(has_action, moved, effs):
+    """where-blend per-effector states (cond-free alternative to
+    lax.cond(has_action, ...) -- same semantics, no cond transpose)."""
+    out = []
+    for e, m_e in zip(effs, moved):
+        kw = {}
+        for f in ("pos", "quat", "v", "w", "s", "r"):
+            a = getattr(m_e, f)
+            b = getattr(e, f)
+            if a is not b:
+                kw[f] = jnp.where(has_action, a, b)
+        out.append(e.replace(**kw) if kw else e)
+    return tuple(out)
 
 
 # --------------------------------------------------------------------------
@@ -317,12 +336,17 @@ def make_substep(cfg: SimCfg):
         # ---- effector pose integration (before grid_op: collider velocity
         # needs pos[f] and pos[f+1]; reference substep order :515-533)
         if agent is not None and len(agent.effectors) > 0:
-            effs_next = jax.lax.cond(
-                has_action,
-                lambda es: _move_effectors(cfg, es),
-                lambda es: es,
-                effs,
-            )
+            if _AGENT_COND_MODE == "mask":
+                effs_next = _blend_effectors(
+                    has_action, _move_effectors(cfg, effs), effs
+                )
+            else:
+                effs_next = jax.lax.cond(
+                    has_action,
+                    lambda es: _move_effectors(cfg, es),
+                    lambda es: es,
+                    effs,
+                )
         else:
             effs_next = effs
 
@@ -671,12 +695,19 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
 
     def step(state: SimState, params: SceneParams, action, has_action):
         if cfg.agent is not None and cfg.agent.action_dim > 0:
-            effs = jax.lax.cond(
-                has_action,
-                lambda es: set_action(cfg, es, action),
-                lambda es: es,
-                state.effectors,
-            )
+            if _AGENT_COND_MODE == "mask":
+                effs = _blend_effectors(
+                    has_action,
+                    set_action(cfg, state.effectors, action),
+                    state.effectors,
+                )
+            else:
+                effs = jax.lax.cond(
+                    has_action,
+                    lambda es: set_action(cfg, es, action),
+                    lambda es: es,
+                    state.effectors,
+                )
             state = state.replace(effectors=effs)
 
         # smoke runs at step cadence, before the substeps (reference :745-747)
