@@ -65,6 +65,27 @@ _INJECT_MODE = _os.environ.get("FL_INJECT", "cond")
 _AGENT_COND_MODE = _os.environ.get("FL_AGENT_COND", "cond")
 
 
+@jax.custom_vjp
+def _inject_write(arr, idx, vals):
+    """arr (C, N) <- vals (C, flux) at columns idx; explicit VJP so the
+    backward is a plain gather + scatter-zero instead of whatever XLA
+    derives for the scatter-set transpose (FL_INJECT=customvjp)."""
+    return arr.at[:, idx].set(vals, unique_indices=True)
+
+
+def _inject_write_fwd(arr, idx, vals):
+    return _inject_write(arr, idx, vals), idx
+
+
+def _inject_write_bwd(idx, ct):
+    d_vals = ct[:, idx]
+    d_arr = ct.at[:, idx].set(0.0, unique_indices=True)
+    return d_arr, None, d_vals
+
+
+_inject_write.defvjp(_inject_write_fwd, _inject_write_bwd)
+
+
 def _blend_effectors(has_action, moved, effs):
     """where-blend per-effector states (cond-free alternative to
     lax.cond(has_action, ...) -- same semantics, no cond transpose)."""
@@ -182,7 +203,7 @@ def _inject(
         used_n = used_n.at[idx].set(True)
         return x_n, v_n, used_n, act_id + flux
 
-    if _INJECT_MODE == "mask":
+    if _INJECT_MODE in ("mask", "customvjp"):
         # cond-free form: always run the injection computation and blend
         # by the gate with tiny (flux,)-sized gathers of the old values.
         # Semantically identical to the lax.cond form; exists because
@@ -208,13 +229,19 @@ def _inject(
                 vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
             else:
                 vi = jnp.broadcast_to(vdir, (flux, 3))
-        for d in range(3):
-            x_n = x_n.at[d, idx].set(
-                jnp.where(gate, xi[:, d], x_n[d, idx])
-            )
-            v_n = v_n.at[d, idx].set(
-                jnp.where(gate, vi[:, d], v_n[d, idx])
-            )
+        if _INJECT_MODE == "customvjp":
+            x_cols = jnp.where(gate, xi.T, x_n[:, idx])  # (3, flux)
+            v_cols = jnp.where(gate, vi.T, v_n[:, idx])
+            x_n = _inject_write(x_n, idx, x_cols)
+            v_n = _inject_write(v_n, idx, v_cols)
+        else:
+            for d in range(3):
+                x_n = x_n.at[d, idx].set(
+                    jnp.where(gate, xi[:, d], x_n[d, idx])
+                )
+                v_n = v_n.at[d, idx].set(
+                    jnp.where(gate, vi[:, d], v_n[d, idx])
+                )
         used_n = used_n.at[idx].set(gate | used_n[idx])
         return x_n, v_n, used_n, act_id + flux * gate.astype(jnp.int32)
 
