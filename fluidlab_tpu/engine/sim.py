@@ -415,11 +415,40 @@ class FluidSim:
     def action_dim(self):
         return 0 if self.cfg.agent is None else self.cfg.agent.action_dim
 
-    def make_rollout_fn(self, with_loss=True, action_overlay=None, window=None):
+    def _auto_window(self):
+        """Remat window for gradient rollouts.  The reference always uses
+        its two-level window scheme (max_substeps_local,
+        mpm_simulator.py:777-912) because Taichi's tape has no choice;
+        here the window only trades HBM for a second forward recompute,
+        so: single-level (store every step-boundary state, backward =
+        1x recompute) whenever H x state fits a budget, else two-level
+        with the memory-optimal sqrt(H) window.  FL_REMAT_BUDGET (bytes)
+        overrides the 2 GB default; FL_REMAT_WINDOW forces a window."""
+        import os as _os
+
+        forced = _os.environ.get("FL_REMAT_WINDOW")
+        if forced:
+            w = int(forced)
+            return None if w <= 0 else w
+        n = max(self.cfg.n_particles, 1)
+        state_bytes = n * 25 * 4  # x,v (3+3) + C,F (9+9) + used
+        if self.cfg.smoke is not None:
+            state_bytes += (self.cfg.smoke.res ** 3) * 5 * 4
+        budget = float(_os.environ.get("FL_REMAT_BUDGET", 2e9))
+        if self.horizon * state_bytes <= budget:
+            return None  # single-level: per-step checkpoint only
+        return max(2, int(np.sqrt(self.horizon)))
+
+    def make_rollout_fn(self, with_loss=True, action_overlay=None,
+                        window="auto"):
         loss_fn = self.loss.loss_fn if (with_loss and self.loss) else None
+        if window == "auto":
+            window = self._auto_window()
+        elif window is None:
+            window = self.window
         return make_rollout(
             self.cfg, loss_fn=loss_fn, smoke_step_fn=self._smoke_step_fn,
-            window=self.window if window is None else window,
+            window=window,
             action_overlay=action_overlay,
         )
 
