@@ -63,6 +63,12 @@ import os as _os
 
 _INJECT_MODE = _os.environ.get("FL_INJECT", "cond")
 _AGENT_COND_MODE = _os.environ.get("FL_AGENT_COND", "cond")
+# crash-bisection ablation: which injection writes run in the mask/
+# customvjp modes (comma set of x,v,used,act; NOT semantics-preserving
+# unless all four are on)
+_INJECT_PARTS = set(
+    _os.environ.get("FL_INJECT_PARTS", "x,v,used,act").split(",")
+)
 
 
 @jax.custom_vjp
@@ -203,7 +209,7 @@ def _inject(
         used_n = used_n.at[idx].set(True)
         return x_n, v_n, used_n, act_id + flux
 
-    if _INJECT_MODE in ("mask", "customvjp"):
+    if _INJECT_MODE in ("mask", "customvjp", "dense"):
         # cond-free form: always run the injection computation and blend
         # by the gate with tiny (flux,)-sized gathers of the old values.
         # Semantically identical to the lax.cond form; exists because
@@ -229,21 +235,49 @@ def _inject(
                 vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
             else:
                 vi = jnp.broadcast_to(vdir, (flux, 3))
-        if _INJECT_MODE == "customvjp":
+        if _INJECT_MODE == "dense":
+            # Scatter-free injection: build a (flux, N) one-hot of the
+            # target slots by broadcast compare, materialise the injected
+            # columns with a (3, flux) @ (flux, N) matmul (MXU), and
+            # where-blend.  No scatter and no N-sized gather anywhere —
+            # sidesteps the TPU worker fault hit by the scatter-set
+            # forms at large N x horizon (RESULTS.md round-2 bisection).
+            N = x_n.shape[1]
+            slots = jnp.arange(N, dtype=idx.dtype)
+            onehot = (idx[:, None] == slots[None, :])  # (flux, N)
+            hit = jnp.any(onehot, axis=0) & gate  # (N,)
+            sel = onehot.astype(x_n.dtype)
+            vals_x = xi.T.astype(x_n.dtype) @ sel  # (3, N)
+            vals_v = vi.T.astype(x_n.dtype) @ sel
+            if "x" in _INJECT_PARTS:
+                x_n = jnp.where(hit[None, :], vals_x, x_n)
+            if "v" in _INJECT_PARTS:
+                v_n = jnp.where(hit[None, :], vals_v, v_n)
+        elif _INJECT_MODE == "customvjp":
             x_cols = jnp.where(gate, xi.T, x_n[:, idx])  # (3, flux)
             v_cols = jnp.where(gate, vi.T, v_n[:, idx])
-            x_n = _inject_write(x_n, idx, x_cols)
-            v_n = _inject_write(v_n, idx, v_cols)
+            if "x" in _INJECT_PARTS:
+                x_n = _inject_write(x_n, idx, x_cols)
+            if "v" in _INJECT_PARTS:
+                v_n = _inject_write(v_n, idx, v_cols)
         else:
             for d in range(3):
-                x_n = x_n.at[d, idx].set(
-                    jnp.where(gate, xi[:, d], x_n[d, idx])
-                )
-                v_n = v_n.at[d, idx].set(
-                    jnp.where(gate, vi[:, d], v_n[d, idx])
-                )
-        used_n = used_n.at[idx].set(gate | used_n[idx])
-        return x_n, v_n, used_n, act_id + flux * gate.astype(jnp.int32)
+                if "x" in _INJECT_PARTS:
+                    x_n = x_n.at[d, idx].set(
+                        jnp.where(gate, xi[:, d], x_n[d, idx])
+                    )
+                if "v" in _INJECT_PARTS:
+                    v_n = v_n.at[d, idx].set(
+                        jnp.where(gate, vi[:, d], v_n[d, idx])
+                    )
+        if "used" in _INJECT_PARTS:
+            if _INJECT_MODE == "dense":
+                used_n = used_n | hit
+            else:
+                used_n = used_n.at[idx].set(gate | used_n[idx])
+        if "act" in _INJECT_PARTS:
+            act_id = act_id + flux * gate.astype(jnp.int32)
+        return x_n, v_n, used_n, act_id
 
     return jax.lax.cond(
         gate, do_inject, lambda ops: ops, (x_next, v_next, used_next, eff.act_id)
