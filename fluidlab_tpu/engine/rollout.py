@@ -52,6 +52,162 @@ def checkpointed_scan(f, init, xs, window: Optional[int] = None):
     )
     return carry, ys
 
+def _float_mask(state):
+    """Per-leaf bool list: True where the leaf participates in AD."""
+    leaves = jax.tree_util.tree_leaves(state)
+    return [jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact) for l in leaves]
+
+
+def _float_leaves(state):
+    mask = _float_mask(state)
+    return [l for l, f in zip(jax.tree_util.tree_leaves(state), mask) if f]
+
+
+def make_segment_fn(
+    cfg: SimCfg,
+    loss_fn: Optional[Callable] = None,
+    smoke_step_fn=None,
+    window: Optional[int] = None,
+    action_overlay: Optional[Callable] = None,
+):
+    """One horizon segment: like ``make_rollout`` but with explicit step
+    indices ``ts`` and no action_p prologue (the caller owns both) — the
+    building block of the host-segmented backward."""
+    step = make_step(cfg, smoke_step_fn)
+
+    def segment(state, params, actions_seg, mask_seg, ts, ap, aux_seg):
+        def body(st, inp):
+            a, has_a, t, aux = inp
+            if action_overlay is not None:
+                a = action_overlay(st, a, t, ap)
+            st = step(st, params, a, has_a)
+            out = loss_fn(st, params, aux) if loss_fn is not None else 0.0
+            return st, out
+
+        xs = (actions_seg, mask_seg, ts, aux_seg)
+        return checkpointed_scan(body, state, xs, window=window)
+
+    return segment
+
+
+def make_segmented_fwd_bwd(
+    cfg: SimCfg,
+    loss_fn: Callable,
+    smoke_step_fn=None,
+    window: Optional[int] = None,
+    action_overlay: Optional[Callable] = None,
+    seg_len: int = 25,
+):
+    """Host-segmented rollout gradient.
+
+    The reference checkpoints window boundaries to RAM/disk and replays
+    windows in reverse during its backward sweep (reference
+    mpm_simulator.py:777-912, ``ckpt_dest`` ram/disk).  Here each
+    segment of ``seg_len`` control steps is one jitted program,
+    boundary states stay on-device, and the host sweeps segments in
+    reverse chaining state cotangents through per-segment VJPs.
+
+    Two compiled programs total (segment forward; segment VJP), each
+    O(seg_len) — bounding compiled-program size and the live backward
+    footprint regardless of H.  This is the workaround for the TPU
+    worker fault hit by monolithic fwd+bwd rollouts at large
+    N x horizon (RESULTS.md round-2 bisection).
+
+    Returns ``fwd_bwd(state0, params, actions, action_mask, action_p,
+    loss_aux, loss_weights) -> (total, step_out, final_state,
+    (d_actions, d_action_p))`` where ``loss_weights`` (H,) weights each
+    step's ``step_loss`` in the total (the solver's temporal mask).
+    Gradients flow to ``actions`` and ``action_p`` (params and state0
+    are treated as constants, like the monolithic solver path).
+    """
+    segment = make_segment_fn(
+        cfg, loss_fn=loss_fn, smoke_step_fn=smoke_step_fn, window=window,
+        action_overlay=action_overlay,
+    )
+
+    def _apply_ap(state0, ap):
+        if cfg.agent is None:
+            return state0
+        return state0.replace(
+            effectors=apply_action_p(cfg, state0.effectors, ap)
+        )
+
+    seg_fwd = jax.jit(segment)
+
+    @jax.jit
+    def seg_vjp(state, params, a, m, ts, ap, aux, ct_f, ct_w):
+        """One reverse-sweep step: cotangents of (float state leaves,
+        weighted segment loss) -> cotangents of (entry state float
+        leaves, segment actions, action_p)."""
+
+        def f(state_, a_, ap_):
+            st1, outs = segment(state_, params, a_, m, ts, ap_, aux)
+            lsum = jnp.sum(outs["step_loss"] * ct_w)
+            return (tuple(_float_leaves(st1)), lsum)
+
+        _, vjp = jax.vjp(f, state, a, ap)
+        d_state, d_a, d_ap = vjp((tuple(ct_f), jnp.float32(1.0)))
+        mask = _float_mask(state)
+        d_f = [d for d, fl in zip(jax.tree_util.tree_leaves(d_state), mask)
+               if fl]
+        return d_f, d_a, d_ap
+
+    def fwd_bwd(state0, params, actions, action_mask, action_p, loss_aux,
+                loss_weights):
+        H = actions.shape[0]
+        L = seg_len
+        assert H % L == 0, f"seg_len {L} must divide horizon {H}"
+        S = H // L
+        ap = (action_p if action_p is not None
+              else jnp.zeros((actions.shape[-1],), actions.dtype))
+
+        def seg_args(s):
+            sl = slice(s * L, (s + 1) * L)
+            aux_s = jax.tree_util.tree_map(lambda x: x[sl], loss_aux)
+            return (actions[sl], action_mask[sl],
+                    jnp.arange(s * L, (s + 1) * L), aux_s)
+
+        # ---- forward sweep: segment-boundary states stay on device
+        state = _apply_ap(state0, ap)
+        bounds = [state]
+        outs_all = []
+        for s in range(S):
+            a, m, ts, aux_s = seg_args(s)
+            state, outs = seg_fwd(state, params, a, m, ts, ap, aux_s)
+            bounds.append(state)
+            outs_all.append(outs)
+        final_state = state
+
+        # ---- backward sweep: chain state cotangents segment by segment
+        ct_f = [jnp.zeros_like(x) for x in _float_leaves(final_state)]
+        d_actions = []
+        d_ap = jnp.zeros_like(ap)
+        for s in reversed(range(S)):
+            a, m, ts, aux_s = seg_args(s)
+            ct_w = loss_weights[s * L:(s + 1) * L]
+            ct_f, d_a, d_ap_s = seg_vjp(
+                bounds[s], params, a, m, ts, ap, aux_s, ct_f, ct_w
+            )
+            d_actions.append(d_a)
+            d_ap = d_ap + d_ap_s
+
+        # ---- action_p prologue (initial effector pose) cotangent
+        def pro(ap_):
+            return tuple(_float_leaves(_apply_ap(state0, ap_)))
+
+        _, pro_vjp = jax.vjp(pro, ap)
+        (d_ap0,) = pro_vjp(tuple(ct_f))
+        d_ap = d_ap + d_ap0
+
+        d_actions = jnp.concatenate(d_actions[::-1], axis=0)
+        step_out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs_all
+        )
+        total = jnp.sum(step_out["step_loss"] * loss_weights)
+        return total, step_out, final_state, (d_actions, d_ap)
+
+    return fwd_bwd
+
 
 def make_rollout(
     cfg: SimCfg,

@@ -439,6 +439,37 @@ class FluidSim:
             return None  # single-level: per-step checkpoint only
         return max(2, int(np.sqrt(self.horizon)))
 
+    def auto_seg_len(self, horizon=None):
+        """Segment length for the host-segmented backward
+        (engine/rollout.py make_segmented_fwd_bwd), or None for the
+        monolithic jitted fwd+bwd.
+
+        Monolithic fwd+bwd rollouts fault the TPU worker beyond a
+        particles x substeps x horizon budget (46k x 20 x 100 crashes,
+        46k x 20 x 20 is fine — RESULTS.md round-2 bisection), so past
+        a conservative threshold the solver splits the horizon into
+        host-chained segment VJPs.  FL_SEGLEN forces a length (<=0
+        forces monolithic)."""
+        import os as _os
+
+        horizon = self.horizon if horizon is None else horizon
+        forced = _os.environ.get("FL_SEGLEN")
+        if forced is not None:
+            L = int(forced)
+            return None if L <= 0 else L
+        on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
+        if not on_tpu:
+            return None
+        work = self.cfg.n_particles * self.cfg.n_substeps
+        if work * horizon <= 2.5e7:
+            return None
+        budget = 1.5e7
+        l_max = max(1, min(horizon, int(budget / max(work, 1))))
+        for L in range(l_max, 0, -1):
+            if horizon % L == 0:
+                return L
+        return 1
+
     def make_rollout_fn(self, with_loss=True, action_overlay=None,
                         window="auto"):
         loss_fn = self.loss.loss_fn if (with_loss and self.loss) else None

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fluidlab_tpu.engine.rollout import make_segmented_fwd_bwd
 from fluidlab_tpu.optimizer.policies import make_scripted_overlay
 
 
@@ -41,13 +42,41 @@ class Solver:
         sim = self.env.sim
         loss = sim.loss
         overlay = make_scripted_overlay(policy)
-        rollout = sim.make_rollout_fn(action_overlay=overlay)
         aux = loss.loss_aux()
         H = self.env.horizon
         Ha = self.env.horizon_action
         action_mask = jnp.asarray(np.arange(H) < Ha)
         params = sim.params
         state0 = sim.init_state
+
+        seg_len = sim.auto_seg_len(H)
+        if seg_len is not None and seg_len < H:
+            # Host-segmented backward: bounded compiled-program size, the
+            # workaround for the TPU worker fault on monolithic fwd+bwd at
+            # large N x horizon (see FluidSim.auto_seg_len).
+            seg_fb = make_segmented_fwd_bwd(
+                sim.cfg, loss_fn=loss.loss_fn,
+                smoke_step_fn=sim._smoke_step_fn, window=None,
+                action_overlay=overlay, seg_len=seg_len,
+            )
+
+            def fwd_bwd_seg(actions_v, action_p, loss_mask):
+                acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
+                acts = acts.at[:Ha].set(actions_v)
+                tot, step_out, final, (d_a, g_p) = seg_fb(
+                    state0, params, acts, action_mask, action_p, aux,
+                    loss_mask,
+                )
+                final_p = (
+                    (final.particles.x, final.particles.used)
+                    if final.particles is not None
+                    else None
+                )
+                return tot, step_out, final_p, (d_a[:Ha], g_p)
+
+            return fwd_bwd_seg
+
+        rollout = sim.make_rollout_fn(action_overlay=overlay)
 
         def total_loss(actions_v, action_p, loss_mask):
             acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)

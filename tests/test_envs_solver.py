@@ -111,6 +111,57 @@ class TestRecordAndSolve:
         # gradient must be nonzero (actions influence the loss)
         assert np.abs(grad).max() > 0
 
+    def test_segmented_fwd_bwd_matches_monolithic(
+        self, recorded_env, monkeypatch
+    ):
+        """The host-segmented backward (engine/rollout.py
+        make_segmented_fwd_bwd) must reproduce the monolithic jitted
+        fwd+bwd: same loss, same action gradients."""
+        import jax.numpy as jnp
+
+        env = TinyLatteArtEnv(
+            loss=True, seed=0, target_file=recorded_env.target_file
+        )
+        cfg = dict(
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+        )
+        solver = Solver(env, logger=None, cfg=cfg)
+        policy = env.trainable_policy(cfg["optim"], cfg["init_range"])
+        mask = env.sim.loss.temporal_mask()
+        av = jnp.asarray(policy.actions_v, jnp.float32)
+        ap = jnp.asarray(policy.actions_p, jnp.float32)
+
+        mono = solver._build_fwd_bwd(policy)
+        tot_m, out_m, fin_m, (gv_m, gp_m) = mono(av, ap, mask)
+
+        monkeypatch.setenv("FL_SEGLEN", "5")  # horizon 10 -> 2 segments
+        seg = solver._build_fwd_bwd(policy)
+        tot_s, out_s, fin_s, (gv_s, gp_s) = seg(av, ap, mask)
+
+        np.testing.assert_allclose(
+            float(tot_s), float(tot_m), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s["step_loss"]), np.asarray(out_m["step_loss"]),
+            rtol=1e-5, atol=1e-7,
+        )
+        scale = max(np.abs(np.asarray(gv_m)).max(), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(gv_s), np.asarray(gv_m),
+            rtol=1e-4, atol=1e-5 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp_s), np.asarray(gp_m),
+            rtol=1e-4, atol=1e-5 * max(np.abs(np.asarray(gp_m)).max(), 1e-12),
+        )
+        np.testing.assert_allclose(
+            np.asarray(fin_s[0]), np.asarray(fin_m[0]), rtol=1e-5, atol=1e-6
+        )
+
     def test_gym_step_api(self, recorded_env):
         env = TinyLatteArtEnv(
             loss=True, seed=0, target_file=recorded_env.target_file
