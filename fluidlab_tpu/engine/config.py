@@ -124,8 +124,11 @@ class SimCfg:
     smoke: Optional[SmokeCfg] = None
     has_rigid_bodies: bool = False
     rand_cycle: int = 4096  # injector random-offset table length
-    p2g_impl: str = "scatter"  # 'scatter' | 'sort' | 'pallas'
-    g2p_impl: str = "gather"  # 'gather' | 'pallas'
+    # 'regions' keeps the whole grid phase in block-region space (the
+    # canonical (C, G^3) grid never exists, ops/regions_pallas.py) and
+    # must be set on BOTH impls together.
+    p2g_impl: str = "scatter"  # 'scatter' | 'sort' | 'pallas' | 'regions'
+    g2p_impl: str = "gather"  # 'gather' | 'pallas' | 'regions'
     # 'substep': bin particles exactly, every substep.  'step': bin once
     # per control step, keep the state block-sorted across the substeps
     # (ops/binning.py; needs binning_margin >= max per-step drift cells)

@@ -303,10 +303,16 @@ def make_substep(cfg: SimCfg):
     from fluidlab_tpu.ops.binning import compute_binning
     from fluidlab_tpu.ops.p2g import get_p2g
 
-    _p2g = get_p2g(cfg.p2g_impl)
+    use_regions = cfg.p2g_impl == "regions"
+    if use_regions != (cfg.g2p_impl == "regions"):
+        raise ValueError(
+            "p2g_impl='regions' and g2p_impl='regions' must be set together"
+            " (the grid phase never materializes the canonical grid)"
+        )
+    _p2g = None if use_regions else get_p2g(cfg.p2g_impl)
     use_pallas_p2g = cfg.p2g_impl == "pallas"
     use_pallas_g2p = cfg.g2p_impl == "pallas"
-    need_binning = use_pallas_p2g or use_pallas_g2p
+    need_binning = use_pallas_p2g or use_pallas_g2p or use_regions
     marg = cfg.binning_margin
 
     # perf-bisection knobs (debug only): comma list in FL_ABLATE
@@ -324,9 +330,36 @@ def make_substep(cfg: SimCfg):
             ii.reshape(G3), jj.reshape(G3), kk.reshape(G3)
         ]).astype(jnp.float32) * dx  # (3, G^3)
 
+    def _region_cell_pos():
+        """World positions of region cells, (3, NB^3, r2, RCOLS) in the
+        block-region layout of ops/regions_pallas.py (region of block b
+        covers global cells [b*BLOCK - m, b*BLOCK - m + region))."""
+        from fluidlab_tpu.ops.binning import BLOCK
+        from fluidlab_tpu.ops.p2g_pallas import _region
+        from fluidlab_tpu.ops.regions_pallas import RCOLS
+
+        nb = G // BLOCK
+        nb3 = nb * nb * nb
+        region = _region(marg)
+        r2 = region * region
+        bidx = jnp.arange(nb3, dtype=jnp.int32)
+        borig = jnp.stack([
+            bidx // (nb * nb), (bidx // nb) % nb, bidx % nb
+        ]).astype(jnp.float32) * BLOCK - marg  # (3, NB^3)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 1)
+        zc = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 2)
+        a = (row // region).astype(jnp.float32)
+        b = (row % region).astype(jnp.float32)
+        z = zc.astype(jnp.float32)
+        return jnp.stack([
+            (borig[0][:, None, None] + a) * dx,
+            (borig[1][:, None, None] + b) * dx,
+            (borig[2][:, None, None] + z) * dx,
+        ])
+
     def substep(state: SimState, params: SceneParams, has_action,
                 binning=None, presorted: bool = False,
-                slot_of_id=None) -> SimState:
+                slot_of_id=None, statics_regions=None) -> SimState:
         ps = state.particles
         effs = state.effectors
         x, v, C, F, used = ps.x, ps.v, ps.C, ps.F, ps.used
@@ -386,7 +419,16 @@ def make_substep(cfg: SimCfg):
         w = quadratic_weights_soa(fx)  # (3 off, 3 ax, N)
         if need_binning and binning is None:
             binning = compute_binning(base, G)
-        if "nop2g" in _ablate:
+        gridreg = None
+        if use_regions:
+            from fluidlab_tpu.ops.regions_pallas import p2g_regions
+
+            interp_r = not str(jax.devices()[0]).startswith("TPU")
+            gridreg = p2g_regions(
+                base, fx, w, usedf, params.p_mass, v, affine, G, dx,
+                binning, m=marg, presorted=presorted, interpret=interp_r,
+            )  # (NB^3, 4, r2, RCOLS), fully-summed (halos redundant)
+        elif "nop2g" in _ablate:
             grid = jnp.ones((4, G3), x.dtype) * jnp.sum(affine) * 1e-20
         elif use_pallas_p2g:
             grid = _p2g(base, fx, w, usedf, params.p_mass, v, affine, G, dx,
@@ -411,26 +453,49 @@ def make_substep(cfg: SimCfg):
         else:
             effs_next = effs
 
-        # ---- grid_op (reference :380-398)
-        mass_g = grid[3]
-        active = mass_g > EPS
-        inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
-        v_out = jnp.stack([
-            grid[d] * inv_mass + dt * gravity[d] for d in range(3)
-        ])
-        cell_pos = _cell_pos()
-        if cfg.n_statics > 0:
-            for si in range(cfg.n_statics):
-                v_out = sdf_ops.static_collide(
-                    v_out,
-                    params.statics_sdf[si],
-                    params.statics_normal[si],
-                    params.statics_friction[si],
-                )
+        # ---- grid_op (reference :380-398).  In regions mode it runs
+        # pointwise over the block-region layout (halo cells computed
+        # redundantly; every copy of a global cell sees identical
+        # inputs, so copies stay consistent) — the canonical (C, G^3)
+        # grid never exists.
+        if use_regions:
+            mass_g = gridreg[:, 3]  # (NB^3, r2, RCOLS)
+            active = mass_g > EPS
+            inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
+            v_out = jnp.stack([
+                gridreg[:, d] * inv_mass + dt * gravity[d] for d in range(3)
+            ])  # (3, NB^3, r2, RCOLS)
+            cell_pos = _region_cell_pos()
+            if cfg.n_statics > 0:
+                for si in range(cfg.n_statics):
+                    sdf_r, normal_r = statics_regions[si]
+                    v_out = sdf_ops.static_collide(
+                        v_out, sdf_r, normal_r, params.statics_friction[si]
+                    )
+        else:
+            mass_g = grid[3]
+            active = mass_g > EPS
+            inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
+            v_out = jnp.stack([
+                grid[d] * inv_mass + dt * gravity[d] for d in range(3)
+            ])
+            cell_pos = _cell_pos()
+            if cfg.n_statics > 0:
+                for si in range(cfg.n_statics):
+                    v_out = sdf_ops.static_collide(
+                        v_out,
+                        params.statics_sdf[si],
+                        params.statics_normal[si],
+                        params.statics_friction[si],
+                    )
         if agent is not None and agent.collide_type in ("grid", "both"):
-            v_out = _agent_collide(cfg, params, cell_pos, v_out, effs, effs_next)
+            shp = v_out.shape
+            v_out = _agent_collide(
+                cfg, params, cell_pos.reshape(3, -1), v_out.reshape(3, -1),
+                effs, effs_next,
+            ).reshape(shp)
         _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
-        v_out = v_out * active[None, :].astype(x.dtype)
+        v_out = v_out * active[None].astype(x.dtype)
 
         # ---- G2P (:400-426).  TPU XLA gathers cost ~16 ms/substep at 65k
         # particles (27 separate or one fused 27N gather alike, measured),
@@ -439,7 +504,15 @@ def make_substep(cfg: SimCfg):
         # as the semantic reference.
         new_v = jnp.zeros_like(v)
         new_C = jnp.zeros_like(C)
-        if "nog2p" in _ablate:
+        if use_regions:
+            from fluidlab_tpu.ops.regions_pallas import g2p_regions
+
+            vreg = jnp.stack([v_out[d] for d in range(3)], axis=1)
+            new_v, new_C = g2p_regions(
+                base, fx, w, vreg, G, inv_dx, binning,
+                m=marg, presorted=presorted, interpret=interp_r,
+            )
+        elif "nog2p" in _ablate:
             new_v = v * 0.999 + jnp.sum(v_out) * 1e-20
             new_C = C * 0.999
         elif cfg.g2p_impl == "pallas":
@@ -656,8 +729,28 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
     """
     substep = make_substep(cfg)
     persistent = cfg.binning_mode == "step" and (
-        cfg.p2g_impl == "pallas" or cfg.g2p_impl == "pallas"
+        cfg.p2g_impl in ("pallas", "regions")
+        or cfg.g2p_impl in ("pallas", "regions")
     )
+    use_regions = cfg.p2g_impl == "regions"
+
+    def _statics_regions(params):
+        """Static SDF/normal grids relaid into the block-region layout,
+        once per control step (substeps share them)."""
+        if not (use_regions and cfg.n_statics > 0):
+            return None
+        from fluidlab_tpu.ops.binning import BLOCK
+        from fluidlab_tpu.ops.g2p_pallas import _build_regions
+
+        nb = cfg.n_grid // BLOCK
+        out = []
+        for si in range(cfg.n_statics):
+            sn = jnp.concatenate([
+                params.statics_sdf[si][None], params.statics_normal[si]
+            ], axis=0)
+            r = _build_regions(sn, cfg.n_grid, nb, cfg.binning_margin)
+            out.append((r[:, 0], jnp.stack([r[:, 1], r[:, 2], r[:, 3]])))
+        return out
     if persistent and cfg.binning_margin < 2:
         raise ValueError(
             "binning_mode='step' needs binning_margin >= 2 to absorb "
@@ -707,7 +800,7 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
             x_bin = x_bin.at[:, idxw].set(centers)
         return x_bin
 
-    def _substeps_sorted(state, params, has_action):
+    def _substeps_sorted(state, params, has_action, statics_regions=None):
         ps = state.particles
         x, used = ps.x, ps.used
         G = cfg.n_grid
@@ -743,7 +836,8 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
 
         def body(s, _):
             return substep(s, params_s, has_action, binning=bn_s,
-                           presorted=True, slot_of_id=inv), None
+                           presorted=True, slot_of_id=inv,
+                           statics_regions=statics_regions), None
 
         state_s, _ = jax.lax.scan(
             body, state_s, None, length=cfg.n_substeps
@@ -776,11 +870,14 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
             state = smoke_step_fn(state, params)
 
         if cfg.has_particles or cfg.agent is not None:
+            statics_regions = _statics_regions(params)
             if persistent and cfg.has_particles:
-                state = _substeps_sorted(state, params, has_action)
+                state = _substeps_sorted(state, params, has_action,
+                                         statics_regions)
             else:
                 def body(s, _):
-                    return substep(s, params, has_action), None
+                    return substep(s, params, has_action,
+                                   statics_regions=statics_regions), None
 
                 state, _ = jax.lax.scan(
                     body, state, None, length=cfg.n_substeps

@@ -110,7 +110,7 @@ class FluidSim:
         ckpt_dest=None,  # accepted for API parity; remat replaces it
         gravity=(0.0, -10.0, 0.0),
         seed=0,
-        transfer="auto",  # 'auto' | 'portable' | 'pallas'
+        transfer="auto",  # 'auto' | 'portable' | 'pallas' | 'regions'
     ):
         self.dim = dim
         self.quality = quality
@@ -291,6 +291,10 @@ class FluidSim:
             # (RESULTS.md).  binning_mode='step' (persistent sorting)
             # currently regresses on TPU; revisit when fixed.
             impl_kwargs = dict(p2g_impl="pallas", g2p_impl="pallas")
+        elif mode == "regions" and n_particles > 0:
+            # region-space grid phase: the canonical grid never exists
+            # (ops/regions_pallas.py)
+            impl_kwargs = dict(p2g_impl="regions", g2p_impl="regions")
         else:
             impl_kwargs = {}
 

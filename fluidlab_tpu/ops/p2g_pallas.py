@@ -68,6 +68,12 @@ def _region(m: int) -> int:
     return BLOCK + HALO + 2 * m
 
 
+def _dx_scale(G: int) -> float:
+    """Cell-index -> world scale used by the position combine
+    (x_cell = cell * dx; the engine always has dx = 1/G)."""
+    return 1.0 / G
+
+
 def _r2pad(m: int) -> int:
     r2 = _region(m) ** 2
     return ((r2 + 127) // 128) * 128

@@ -1,0 +1,831 @@
+"""Region-space grid phase: the canonical (C, G^3) grid never exists.
+
+Round-1 profiling (RESULTS.md) showed the Pallas transfer kernels cost
+only ~2.7 ms/substep combined while ~10 ms went to XLA glue around
+them: the overlap-add of P2G halo regions into the canonical grid (a
+chain of (13, 96^3) dynamic-update-slices), the channel-major
+transposes, and the G2P region re-build — all plagued by minor-dim-16
+intermediates that tile to (8, 128) with 8x lane padding.
+
+This module keeps the whole grid phase in block-region space instead:
+
+    p2g accumulate (+ affine combine epilogue)     [pallas]
+      -> (NB^3, r2pad, 128)  cols z*4+q, q in {mom_xyz, mass}
+    sweep_yz: halo-merge along y/z (9 neighbors)   [pallas]
+    sweep_x_select: merge along x + per-channel    [pallas]
+      unpack -> (NB^3, 4, r2, 128) fully-summed grid regions
+    grid_op (XLA, pointwise on regions, redundant in halos)
+    g2p consumes the (NB^3, 3, r2, 128) velocity regions directly
+
+Cell values in overlapping halo cells are computed redundantly
+(5832/4096 = 1.42x at m=0) — redundancy is free next to the relayouts
+it replaces.  The merge is a linear broadcast, so its transpose (used
+by the P2G VJP) sums region cotangents back: ``unsweep_x`` /
+``unsweep_yz_expand`` mirror the forward sweeps with opposite shifts
+and emit the accumulator cotangent directly in the moment-backward
+kernel's flat layout (ops/transfer_bwd_pallas.py).
+
+All shifts are ``pltpu.roll`` + iota masks: region rows are ab-major
+(ab = a*R + b) so an x-block shift is a row roll by 16R, a y-shift a
+row roll by 16 (cross-a bleed masked), and a z-shift a lane roll by
+16*4 in the interleaved columns.
+
+Reference: this replaces the grid assembly半 implied by the reference's
+global Taichi grid (reference mpm_simulator.py:380-426); the physics is
+identical, only the storage schedule differs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
+from fluidlab_tpu.ops.p2g_pallas import CPAD, PACK, _r2pad, _region
+
+CHUNK = ALIGN
+CQ = 4       # interleaved channels per z: mom_x, mom_y, mom_z, mass
+QCOLS = 128  # interleaved column count (z*CQ + q; z < region <= 24 used)
+RCOLS = 128  # per-channel z extent padding (matches ops/g2p_pallas.py)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _onehot_w(w_axis, lb, ids):
+    """W[p, col] = w_axis[p, ids[col] - lb[p]] for offsets 0..2."""
+    off = ids - lb
+    out = jnp.zeros(ids.shape, jnp.float32)
+    for o in range(3):
+        out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+    return out
+
+
+def _combine_mats(region, r2pad, wcols, n_mom, has_mass, oz, scale):
+    """Selection matrices for the affine combine, built in-kernel.
+
+    Input cols: z*CPAD + c with plain channels c=q (q < n_mom), affine
+    channels c = 3 + 3q + d, mass at c = 12.  Output cols: z*CQ + q.
+    Returns (S0, Sa, Sb, Szs): out = acc@S0 + xa*(acc@Sa) + xb*(acc@Sb)
+    + acc@Szs, with the z coordinate folded into Szs.
+    """
+    cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, QCOLS), 0)
+    cout = jax.lax.broadcasted_iota(jnp.int32, (wcols, QCOLS), 1)
+    z_src = cin // CPAD
+    c_src = cin % CPAD
+    z_out = cout // CQ
+    q_out = cout % CQ
+    zmatch = (z_src == z_out) & (z_src < region)
+    is_mom = q_out < n_mom
+    S0 = zmatch & ((is_mom & (c_src == q_out))
+                   | (has_mass & (q_out == 3) & (c_src == 12)))
+    Sa = zmatch & is_mom & (c_src == 3 + 3 * q_out + 0)
+    Sb = zmatch & is_mom & (c_src == 3 + 3 * q_out + 1)
+    Sz = zmatch & is_mom & (c_src == 3 + 3 * q_out + 2)
+    xz = (oz + z_out.astype(jnp.float32)) * scale
+    return (S0.astype(jnp.float32), Sa.astype(jnp.float32),
+            Sb.astype(jnp.float32), Sz.astype(jnp.float32) * xz)
+
+
+def _row_coords(region, r2pad, scale, oa, ob):
+    """Per-row x/y coordinates (r2pad, 1) for ab = a*R + b rows."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, 1), 0)
+    a = row // region
+    b = row % region
+    xa = (oa + a.astype(jnp.float32)) * scale
+    xb = (ob + b.astype(jnp.float32)) * scale
+    return xa, xb
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_t(a, b):
+    """a @ b.T contracted on last dims."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# -------------------------------------------------- accumulate (+ combine)
+
+@functools.lru_cache(maxsize=None)
+def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
+                             scale: float, select_out: bool):
+    """Chunk-grid P2G accumulate kernel (ops/p2g_pallas.py structure)
+    whose epilogue applies the per-cell affine combine:
+
+        out_q(cell) = plain_q + sum_d x_d(cell) * aff_{q,d}   (q < n_mom)
+        out_3(cell) = mass                                    (has_mass)
+
+    ``select_out=False`` emits interleaved (1, r2pad, QCOLS) blocks
+    (z*CQ+q cols) feeding the halo sweeps; ``select_out=True`` emits
+    per-channel (1, n_out, r2, RCOLS) blocks directly (used for the G2P
+    VJP's d_vregions, which needs no neighbor merge).
+    """
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+    wcols = region * CPAD
+    n_out = n_mom + (1 if has_mass else 0)
+
+    def kernel(c2b_ref, packed_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+        nch = pl.num_programs(0)
+        first = jnp.where(
+            i == 0, True, c2b_ref[i] != c2b_ref[jnp.maximum(i - 1, 0)]
+        )
+        last = jnp.where(
+            i == nch - 1, True,
+            c2b_ref[i] != c2b_ref[jnp.minimum(i + 1, nch - 1)],
+        )
+
+        @pl.when(first)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+        a_col = jnp.minimum(col // region, region - 1)
+        b_col = col % region
+        col_valid = (col < r2).astype(jnp.float32)
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wcols), 1)
+        c_wcol = wcol // CPAD
+        p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 0)
+        p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
+        p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
+
+        pk = packed_ref[...]  # (CHUNK, PACK)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        lvals = pk[:, 9:12].astype(jnp.int32)
+        fvals = pk[:, 12:12 + CPAD]
+
+        T = (
+            _onehot_w(wvals[0], lvals[:, 0:1], a_col)
+            * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
+            * col_valid
+        )
+        feats_tiled = _mm(fvals, p_tile)
+        W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
+
+        acc_ref[...] += jax.lax.dot_general(
+            T, W2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(last)
+        def _():
+            b = c2b_ref[i]
+            bi = b // (nb * nb)
+            bj = (b // nb) % nb
+            bk = b % nb
+            oa = (bi * BLOCK - m).astype(jnp.float32)
+            ob = (bj * BLOCK - m).astype(jnp.float32)
+            oz = (bk * BLOCK - m).astype(jnp.float32)
+            acc = acc_ref[...]
+            xa, xb = _row_coords(region, r2pad, scale, oa, ob)
+            if not select_out:
+                S0, Sa, Sb, Szs = _combine_mats(
+                    region, r2pad, wcols, n_mom, has_mass, oz, scale
+                )
+                out_ref[0] = (
+                    _mm(acc, S0) + xa * _mm(acc, Sa) + xb * _mm(acc, Sb)
+                    + _mm(acc, Szs)
+                )
+            else:
+                cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 0)
+                zout = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 1)
+                z_src = cin // CPAD
+                c_src = cin % CPAD
+                zm = (z_src == zout) & (z_src < region)
+                xz = (oz + zout.astype(jnp.float32)) * scale
+                for q in range(n_mom):
+                    S0q = (zm & (c_src == q)).astype(jnp.float32)
+                    Saq = (zm & (c_src == 3 + 3 * q + 0)).astype(jnp.float32)
+                    Sbq = (zm & (c_src == 3 + 3 * q + 1)).astype(jnp.float32)
+                    Szq = (zm & (c_src == 3 + 3 * q + 2)).astype(
+                        jnp.float32) * xz
+                    Oq = (
+                        _mm(acc, S0q) + xa * _mm(acc, Saq)
+                        + xb * _mm(acc, Sbq) + _mm(acc, Szq)
+                    )
+                    out_ref[0, q] = Oq[:r2]
+                if has_mass:
+                    Sm = (zm & (c_src == 12)).astype(jnp.float32)
+                    out_ref[0, n_mom] = _mm(acc, Sm)[:r2]
+
+    def run(packed, c2b):
+        nch = packed.shape[0] // CHUNK
+        nb3 = nb * nb * nb
+        if select_out:
+            out_shape = jax.ShapeDtypeStruct(
+                (nb3, n_out, r2, RCOLS), jnp.float32
+            )
+            out_spec = pl.BlockSpec(
+                (1, n_out, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+            )
+        else:
+            out_shape = jax.ShapeDtypeStruct((nb3, r2pad, QCOLS), jnp.float32)
+            out_spec = pl.BlockSpec(
+                (1, r2pad, QCOLS), lambda i, c2b: (c2b[i], 0, 0)
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nch,),
+            in_specs=[pl.BlockSpec((CHUNK, PACK), lambda i, c2b: (i, 0))],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((r2pad, wcols), jnp.float32)],
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape,
+                              grid_spec=grid_spec)(c2b, packed)
+
+    return run
+
+
+# ------------------------------------------------------------- halo sweeps
+
+def _roll(x, shift: int, axis: int):
+    """pltpu.roll with negative shifts normalized (roll is cyclic)."""
+    size = x.shape[axis]
+    shift = shift % size
+    if shift == 0:
+        return x
+    return pltpu.roll(x, shift, axis)
+
+
+def _shift_mask(x, region, shift_rows: int, shift_cols: int, axis_mask):
+    """roll + validity mask; axis_mask is a (rows, cols) float lattice
+    prepared by the caller (1 where the shifted value is in-range)."""
+    if shift_rows:
+        x = _roll(x, shift_rows, 0)
+    if shift_cols:
+        x = _roll(x, shift_cols, 1)
+    return x * axis_mask
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sweep_yz(m: int, nb: int):
+    """Merge halo contributions along the y (row-minor) and z (lane)
+    axes: out(b) = sum_{ej,ek} shift(in(b - (0,ej,ek)))."""
+    region = _region(m)
+    r2pad = _r2pad(m)
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 1)
+        b0 = row % region
+        z0 = col // CQ
+        zlive = (z0 < region)
+
+        tot = jnp.zeros((r2pad, QCOLS), jnp.float32)
+        idx = 0
+        for ej in (-1, 0, 1):
+            for ek in (-1, 0, 1):
+                x = refs[idx][0]
+                idx += 1
+                if ej == 0 and ek == 0:
+                    tot = tot + x
+                    continue
+                valid = zlive
+                if ej == 1:
+                    valid = valid & (b0 >= BLOCK)
+                elif ej == -1:
+                    valid = valid & (b0 < region - BLOCK)
+                if ek == 1:
+                    valid = valid & (z0 >= BLOCK)
+                elif ek == -1:
+                    valid = valid & (z0 < region - BLOCK)
+                edge = jnp.float32(1.0)
+                if ej != 0:
+                    edge = edge * jnp.where(
+                        (j + ej >= 0) & (j + ej < nb), 1.0, 0.0)
+                if ek != 0:
+                    edge = edge * jnp.where(
+                        (k + ek >= 0) & (k + ek < nb), 1.0, 0.0)
+                tot = tot + _shift_mask(
+                    x, region, BLOCK * ej, BLOCK * CQ * ek,
+                    valid.astype(jnp.float32) * edge,
+                )
+        out_ref[0] = tot
+
+    def run(acc):
+        nb3 = nb * nb * nb
+
+        def mk_index(ej, ek):
+            def index(i, j, k):
+                jj = jnp.clip(j + ej, 0, nb - 1)
+                kk = jnp.clip(k + ek, 0, nb - 1)
+                return ((i * nb + jj) * nb + kk, 0, 0)
+            return index
+
+        in_specs = [
+            pl.BlockSpec((1, r2pad, QCOLS), mk_index(ej, ek))
+            for ej in (-1, 0, 1) for ek in (-1, 0, 1)
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nb3, r2pad, QCOLS), jnp.float32),
+            grid=(nb, nb, nb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, r2pad, QCOLS), lambda i, j, k: ((i * nb + j) * nb + k,
+                                                   0, 0)
+            ),
+        )(*([acc] * 9))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sweep_x_select(m: int, nb: int, n_out: int):
+    """Merge halo contributions along x (row-major axis), then unpack
+    the interleaved channels -> (NB^3, n_out, r2, RCOLS) regions."""
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+
+    def kernel(xm_ref, x0_ref, xp_ref, out_ref):
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
+        a0 = row // region
+        tot = x0_ref[0]
+        for ei, ref in ((-1, xm_ref), (1, xp_ref)):
+            if ei == 1:
+                valid = (a0 >= BLOCK) & (a0 < region)
+            else:
+                valid = a0 < region - BLOCK
+            edge = jnp.where((i + ei >= 0) & (i + ei < nb), 1.0, 0.0)
+            tot = tot + _shift_mask(
+                ref[0], region, BLOCK * region * ei, 0,
+                valid.astype(jnp.float32) * edge,
+            )
+        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
+        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
+        z_src = cin // CQ
+        q_src = cin % CQ
+        for q in range(n_out):
+            Sq = ((z_src == zout) & (z_src < region)
+                  & (q_src == q)).astype(jnp.float32)
+            out_ref[0, q] = _mm(tot, Sq)[:r2]
+
+    def run(acc):
+        nb3 = nb * nb * nb
+
+        def mk_index(ei):
+            def index(i, j, k):
+                ii = jnp.clip(i + ei, 0, nb - 1)
+                return ((ii * nb + j) * nb + k, 0, 0)
+            return index
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb3, n_out, r2, RCOLS), jnp.float32
+            ),
+            grid=(nb, nb, nb),
+            in_specs=[
+                pl.BlockSpec((1, r2pad, QCOLS), mk_index(ei))
+                for ei in (-1, 0, 1)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_out, r2, RCOLS),
+                lambda i, j, k: ((i * nb + j) * nb + k, 0, 0, 0),
+            ),
+        )(acc, acc, acc)
+
+    return run
+
+
+# ------------------------------------------------- transposed sweeps (VJP)
+
+@functools.lru_cache(maxsize=None)
+def _make_unsweep_x(m: int, nb: int, n_out: int):
+    """Transpose of sweep_x_select: region cotangents (NB^3, n_out, r2,
+    RCOLS) -> interleaved (NB^3, r2pad, QCOLS), summing each out-block's
+    contribution back from its x neighbors with opposite shifts."""
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+
+    def kernel(xm_ref, x0_ref, xp_ref, out_ref):
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
+        a0 = row // region
+
+        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
+        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
+        z_src = cin // CQ
+        q_src = cin % CQ
+
+        def sel_t(ref):
+            # Sel^T: per-channel (r2, RCOLS) -> interleaved (r2pad, QCOLS)
+            tot = jnp.zeros((r2pad, QCOLS), jnp.float32)
+            for q in range(n_out):
+                Sq = ((z_src == zout) & (z_src < region)
+                      & (q_src == q)).astype(jnp.float32)
+                d = jnp.pad(ref[0, q], ((0, r2pad - r2), (0, 0)))
+                tot = tot + _mm_t(d, Sq)
+            return tot
+
+        tot = sel_t(x0_ref)
+        # transpose of "out(i) += mask_e * roll_{+16R*e} in(i+e)":
+        #   d_in(i) += roll_{-16R*e}( mask_e * d_out(i-e) )
+        # so the e=+1 term reads the i-1 neighbor (xm) and vice versa;
+        # the mask is the forward mask of e, applied in out coords
+        # BEFORE the inverse roll.
+        for ei, ref in ((1, xm_ref), (-1, xp_ref)):
+            if ei == 1:
+                valid = (a0 >= BLOCK) & (a0 < region)
+            else:
+                valid = a0 < region - BLOCK
+            edge = jnp.where((i - ei >= 0) & (i - ei < nb), 1.0, 0.0)
+            y = sel_t(ref) * valid.astype(jnp.float32) * edge
+            tot = tot + _roll(y, -BLOCK * region * ei, 0)
+        out_ref[0] = tot
+
+    def run(rbar):
+        nb3 = nb * nb * nb
+
+        def mk_index(ei):
+            def index(i, j, k):
+                ii = jnp.clip(i + ei, 0, nb - 1)
+                return ((ii * nb + j) * nb + k, 0, 0, 0)
+            return index
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nb3, r2pad, QCOLS), jnp.float32),
+            grid=(nb, nb, nb),
+            in_specs=[
+                pl.BlockSpec((1, n_out, r2, RCOLS), mk_index(ei))
+                for ei in (-1, 0, 1)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, r2pad, QCOLS),
+                lambda i, j, k: ((i * nb + j) * nb + k, 0, 0),
+            ),
+        )(rbar, rbar, rbar)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_unsweep_yz_expand(m: int, nb: int, n_mom: int, has_mass: bool,
+                            scale: float):
+    """Transpose of sweep_yz followed by the combine adjoint, emitting
+    the accumulator cotangent in the moment-backward kernel's flat
+    layout (NB^3, 13*r2pad, RCOLS) (ops/transfer_bwd_pallas.py)."""
+    region = _region(m)
+    r2pad = _r2pad(m)
+    wcols = region * CPAD
+    C = 13
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 1)
+        b0 = row % region
+        z0 = col // CQ
+        zlive = z0 < region
+
+        tot = jnp.zeros((r2pad, QCOLS), jnp.float32)
+        idx = 0
+        # the ref at offset (ej, ek) is d_out(j+ej, k+ek), which is the
+        # transpose term e = (-ej, -ek): apply the forward mask of e in
+        # out coords, then the inverse roll (= roll by +BLOCK*ej/ek).
+        for ej in (-1, 0, 1):
+            for ek in (-1, 0, 1):
+                x = refs[idx][0]
+                idx += 1
+                if ej == 0 and ek == 0:
+                    tot = tot + x
+                    continue
+                valid = zlive
+                if ej == -1:
+                    valid = valid & (b0 >= BLOCK)
+                elif ej == 1:
+                    valid = valid & (b0 < region - BLOCK)
+                if ek == -1:
+                    valid = valid & (z0 >= BLOCK)
+                elif ek == 1:
+                    valid = valid & (z0 < region - BLOCK)
+                edge = jnp.float32(1.0)
+                if ej != 0:
+                    edge = edge * jnp.where(
+                        (j + ej >= 0) & (j + ej < nb), 1.0, 0.0)
+                if ek != 0:
+                    edge = edge * jnp.where(
+                        (k + ek >= 0) & (k + ek < nb), 1.0, 0.0)
+                y = x * valid.astype(jnp.float32) * edge
+                if ej:
+                    y = _roll(y, BLOCK * ej, 0)
+                if ek:
+                    y = _roll(y, BLOCK * CQ * ek, 1)
+                tot = tot + y
+
+        # combine adjoint: d_acc = D@S0^T + (xa*D)@Sa^T + (xb*D)@Sb^T
+        # + D@Szs^T, then expand interleaved cols to per-channel flat rows
+        i0 = pl.program_id(0)
+        oa = (i0 * BLOCK - m).astype(jnp.float32)
+        ob = (j * BLOCK - m).astype(jnp.float32)
+        oz = (k * BLOCK - m).astype(jnp.float32)
+        S0, Sa, Sb, Szs = _combine_mats(
+            region, r2pad, wcols, n_mom, has_mass, oz, scale
+        )
+        xa, xb = _row_coords(region, r2pad, scale, oa, ob)
+        d_acc = (
+            _mm_t(tot, S0) + xa * _mm_t(tot, Sa) + xb * _mm_t(tot, Sb)
+            + _mm_t(tot, Szs)
+        )  # (r2pad, wcols)
+
+        cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 0)
+        zout = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 1)
+        z_src = cin // CPAD
+        c_src = cin % CPAD
+        zm = (z_src == zout) & (z_src < region)
+        for c in range(C):
+            Ec = (zm & (c_src == c)).astype(jnp.float32)
+            out_ref[0, c * r2pad:(c + 1) * r2pad, :] = _mm(d_acc, Ec)
+
+    def run(dbar):
+        nb3 = nb * nb * nb
+
+        def mk_index(ej, ek):
+            def index(i, j, k):
+                jj = jnp.clip(j + ej, 0, nb - 1)
+                kk = jnp.clip(k + ek, 0, nb - 1)
+                return ((i * nb + jj) * nb + kk, 0, 0)
+            return index
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb3, C * r2pad, RCOLS), jnp.float32
+            ),
+            grid=(nb, nb, nb),
+            in_specs=[
+                pl.BlockSpec((1, r2pad, QCOLS), mk_index(ej, ek))
+                for ej in (-1, 0, 1) for ek in (-1, 0, 1)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C * r2pad, RCOLS),
+                lambda i, j, k: ((i * nb + j) * nb + k, 0, 0),
+            ),
+        )(*([dbar] * 9))
+
+    return run
+
+
+# ------------------------------------------------------------ public ops
+
+def _pack13(w, lbase_global, feats, order, valid, inv, block, m, presorted):
+    """Shared packing prologue (ops/p2g_pallas.py layout)."""
+    lb = (lbase_global - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb, feats], axis=0)
+    if not presorted:
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)
+        rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
+    rows = jnp.pad(rows, ((0, PACK - rows.shape[0]), (0, 0)))
+    return rows.T  # (NPAD, PACK)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def p2g_regions_core(w, lbase_global, feats, order, valid, inv, starts,
+                     block, G: int, m: int, presorted: bool,
+                     interpret: bool):
+    """Fully-summed per-block grid regions (NB^3, 4, r2, RCOLS) with
+    channels [mom_xyz, mass]; mom already combined with the global cell
+    position (x_cell = cell * dx is folded in via scale=dx upstream)."""
+    return _p2g_regions_fwd(
+        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
+        presorted, interpret,
+    )[0]
+
+
+def _p2g_regions_impl(w, lbase_global, feats, order, valid, inv, starts,
+                      block, G, m, presorted, interpret, scale):
+    nb = G // BLOCK
+    packed = _pack13(w, lbase_global, feats, order, valid, inv, block, m,
+                     presorted)
+    c2b = chunk_to_block(starts, packed.shape[0])
+
+    acc_fn = _make_accumulate_regions(m, nb, 3, True, scale, False)
+    syz = _make_sweep_yz(m, nb)
+    sxs = _make_sweep_x_select(m, nb, 4)
+
+    def run():
+        acc = acc_fn(packed, c2b)
+        return sxs(syz(acc))
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return run()
+    return run()
+
+
+def _p2g_regions_fwd(w, lbase_global, feats, order, valid, inv, starts,
+                     block, G, m, presorted, interpret):
+    from fluidlab_tpu.ops.p2g_pallas import _dx_scale
+
+    out = _p2g_regions_impl(
+        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
+        presorted, interpret, _dx_scale(G),
+    )
+    return out, (w, lbase_global, feats, order, valid, inv, starts, block)
+
+
+def _p2g_regions_bwd(G, m, presorted, interpret, res, rbar):
+    from fluidlab_tpu.ops.p2g_pallas import _dx_scale
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+
+    w, lbase, feats, order, valid, inv, starts, block = res
+    nb = G // BLOCK
+    scale = _dx_scale(G)
+
+    usx = _make_unsweep_x(m, nb, 4)
+    uyz = _make_unsweep_yz_expand(m, nb, 3, True, scale)
+
+    def run():
+        return uyz(usx(rbar))
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            flat = run()
+    else:
+        flat = run()
+
+    d_feats, d_w = transfer_bwd(
+        w, lbase, feats, None, order, valid, inv, starts, block,
+        G, m, presorted, interpret, regions_flat=flat, n_chan=13,
+    )
+    return d_w, None, d_feats, None, None, None, None, None
+
+
+p2g_regions_core.defvjp(_p2g_regions_fwd, _p2g_regions_bwd)
+
+
+def p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
+                m: int = 0, presorted: bool = False, interpret: bool = False):
+    """Region-space P2G: (NB^3, 4, r2, RCOLS) fully-summed grid regions.
+    Same feature prep as ops/p2g_pallas.py p2g_pallas."""
+    from fluidlab_tpu.core.mat3 import mv_soa
+
+    x_p = (base.astype(v.dtype) + fx) * dx
+    Ax = mv_soa(affine, x_p)
+    b = jnp.stack([mass * v[i] - Ax[i] for i in range(3)])
+    feats = jnp.concatenate(
+        [b, affine, mass[None, :]], axis=0
+    ) * usedf[None, :]
+    return p2g_regions_core(
+        w, base, feats, binning.order, binning.valid, binning.inv,
+        binning.starts, binning.block, G, m, presorted, interpret,
+    )
+
+
+# --------------------------------------------- G2P from velocity regions
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def g2p_regions_core(w, base, vregions, order, valid, inv, starts, block,
+                     G: int, m: int, presorted: bool, interpret: bool):
+    """G2P moments from per-block velocity regions (NB^3, 3, r2, RCOLS):
+    (S0 (3, N), S1_global (9, N)) as in ops/g2p_pallas.py."""
+    return _g2p_regions_fwd(
+        w, base, vregions, order, valid, inv, starts, block, G, m,
+        presorted, interpret,
+    )[0]
+
+
+def _g2p_regions_impl(w, base, vregions, order, valid, inv, starts, block,
+                      G, m, presorted, interpret):
+    from fluidlab_tpu.ops.g2p_pallas import PACKG, _make_g2p_blocks
+
+    N = w.shape[-1]
+    npad = N if presorted else order.shape[0]
+    nb = G // BLOCK
+
+    lb = (base - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)
+    if not presorted:
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)
+    rows = jnp.pad(rows, ((0, PACKG - 12), (0, 0)))
+    packed = rows.T
+    c2b = chunk_to_block(starts, npad)
+
+    fn = _make_g2p_blocks(m)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            out = fn(packed, vregions, c2b, nb, npad)
+    else:
+        out = fn(packed, vregions, c2b, nb, npad)
+
+    res = out[:npad, :12]
+    if not presorted:
+        from fluidlab_tpu.ops.binning import unpack_rows
+
+        res = unpack_rows(res, order, valid, inv)
+    res_t = res.T
+    S0 = res_t[:3]
+    S1loc = res_t[3:12]
+    borig = (block * BLOCK - m).astype(jnp.float32)
+    S1g = jnp.stack([
+        S1loc[3 * i + d] + borig[d] * S0[i]
+        for i in range(3) for d in range(3)
+    ])
+    return S0, S1g
+
+
+def _g2p_regions_fwd(w, base, vregions, order, valid, inv, starts, block,
+                     G, m, presorted, interpret):
+    out = _g2p_regions_impl(
+        w, base, vregions, order, valid, inv, starts, block, G, m,
+        presorted, interpret,
+    )
+    return out, (w, base, vregions, order, valid, inv, starts, block)
+
+
+def _g2p_regions_bwd(G, m, presorted, interpret, res, cots):
+    """d_vregions via the accumulate(+combine, scale=1) kernel over the
+    cotangent features [S0bar | S1bar] (each block's own particles only
+    touch its own region — no halo merge in this direction); d_w via the
+    moment-backward kernel against [v | v*cell] region grids."""
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+
+    w, base, vregions, order, valid, inv, starts, block = res
+    S0bar, S1bar = cots
+    nb = G // BLOCK
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+
+    feats12 = jnp.concatenate([S0bar, S1bar], axis=0)
+    feats13 = jnp.concatenate(
+        [feats12, jnp.zeros((1, S0bar.shape[-1]), S0bar.dtype)], axis=0
+    )
+    packed = _pack13(w, base, feats13, order, valid, inv, block, m,
+                     presorted)
+    c2b = chunk_to_block(starts, packed.shape[0])
+    acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            d_vreg = acc_fn(packed, c2b)
+    else:
+        d_vreg = acc_fn(packed, c2b)
+
+    # d_w: flat region grids [v | v * cell_d] built in-layout (no
+    # canonical grid): cell_d = block origin + local region coordinate
+    nb3 = nb * nb * nb
+    bidx = jnp.arange(nb3, dtype=jnp.int32)
+    borig = jnp.stack([
+        bidx // (nb * nb), (bidx // nb) % nb, bidx % nb
+    ]).astype(jnp.float32) * BLOCK - m  # (3, NB^3)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 1)
+    zc = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 2)
+    coord = [
+        borig[0][:, None, None] + (row // region).astype(jnp.float32),
+        borig[1][:, None, None] + (row % region).astype(jnp.float32),
+        borig[2][:, None, None] + zc.astype(jnp.float32),
+    ]  # each (NB^3, r2, RCOLS)
+    chans = [vregions[:, i] for i in range(3)]
+    chans += [vregions[:, i] * coord[d] for i in range(3) for d in range(3)]
+    grids12 = jnp.stack(chans, axis=1)  # (NB^3, 12, r2, RCOLS)
+    flat = jnp.pad(
+        grids12, ((0, 0), (0, 0), (0, r2pad - r2), (0, 0))
+    ).reshape(nb3, 12 * r2pad, RCOLS)
+
+    _, d_w = transfer_bwd(
+        w, base, feats12, None, order, valid, inv, starts, block,
+        G, m, presorted, interpret, regions_flat=flat, n_chan=12,
+    )
+    return d_w, None, d_vreg, None, None, None, None, None
+
+
+g2p_regions_core.defvjp(_g2p_regions_fwd, _g2p_regions_bwd)
+
+
+def g2p_regions(base, fx, w, vregions, G, inv_dx, binning, m: int = 0,
+                presorted: bool = False, interpret: bool = False):
+    """Region-space G2P: (new_v (3, N), new_C (9, N)) from velocity
+    regions — same math as ops/g2p_pallas.py g2p_pallas."""
+    S0, S1g = g2p_regions_core(
+        w, base, vregions, binning.order, binning.valid, binning.inv,
+        binning.starts, binning.block, G, m, presorted, interpret,
+    )
+    xg = base.astype(S0.dtype) + fx
+    new_C = (4.0 * inv_dx) * jnp.stack([
+        S1g[3 * i + d] - S0[i] * xg[d] for i in range(3) for d in range(3)
+    ])
+    return S0, new_C

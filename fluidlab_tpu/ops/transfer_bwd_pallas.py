@@ -275,14 +275,20 @@ def _build_regions_flat(grids, G: int, nb: int, m: int):
 
 
 def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
-                 G: int, m: int, presorted: bool, interpret: bool):
+                 G: int, m: int, presorted: bool, interpret: bool,
+                 regions_flat=None, n_chan: int | None = None):
     """(d_feats (C, N), d_w (3 off, 3 ax, N)) for a stencil transfer
     whose cotangent contracts as sum_c feats[c] * grids[c, cell].
 
     ``grids`` (C, G^3) channel grids (C <= 16); binning arrays from
     ops/binning.py (order is the padded aligned layout).
+
+    Region-space callers (ops/regions_pallas.py) that already hold the
+    channel grids in per-block flat layout pass ``regions_flat``
+    ((NB^3, n_chan*r2pad, RCOLS), grids=None) — the canonical-grid
+    rebuild is skipped and the v2 kernel consumes them directly.
     """
-    C = grids.shape[0]
+    C = n_chan if regions_flat is not None else grids.shape[0]
     N = w.shape[-1]
     npad = N if presorted else order.shape[0]
     nb = G // BLOCK
@@ -299,7 +305,10 @@ def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
     packed = rows.T  # (NPAD, PACKB)
     c2b = chunk_to_block(starts, npad)
 
-    if _IMPL == "v2":
+    if regions_flat is not None:
+        regions = regions_flat
+        fn = _make_bwd_kernel_v2(m, C)
+    elif _IMPL == "v2":
         regions = _build_regions_flat(grids, G, nb, m)
         fn = _make_bwd_kernel_v2(m, C)
     else:

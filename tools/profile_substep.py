@@ -26,7 +26,12 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     impl = sys.argv[2] if len(sys.argv) > 2 else "scatter"
     cfg, params, state = liquid_block_scene(n_particles=N, horizon=10)
-    cfg = dataclasses.replace(cfg, p2g_impl=impl)
+    if impl == "pallas2":  # both transfers via the pallas kernels
+        cfg = dataclasses.replace(cfg, p2g_impl="pallas", g2p_impl="pallas")
+    elif impl == "regions":  # region-space grid phase
+        cfg = dataclasses.replace(cfg, p2g_impl="regions", g2p_impl="regions")
+    else:
+        cfg = dataclasses.replace(cfg, p2g_impl=impl)
     substep = make_substep(cfg)
 
     @jax.jit

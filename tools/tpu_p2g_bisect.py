@@ -137,7 +137,8 @@ def main():
                     acc_ref[...] += jax.lax.dot_general(
                         T.astype(jnp.bfloat16), W2.astype(jnp.bfloat16),
                         (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
                 else:
                     acc_ref[...] += jax.lax.dot_general(
                         T, W2, (((0,), (0,)), ((), ())),
