@@ -41,8 +41,8 @@ def main():
         n_particles=n_particles, horizon=10
     )
     on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
-    p2g = os.environ.get("BENCH_P2G") or ("pallas" if on_tpu else "scatter")
-    g2p = os.environ.get("BENCH_G2P") or ("pallas" if on_tpu else "gather")
+    p2g = os.environ.get("BENCH_P2G") or ("regions" if on_tpu else "scatter")
+    g2p = os.environ.get("BENCH_G2P") or ("regions" if on_tpu else "gather")
     # binning mode: 'substep' (exact, fastest measured so far) or 'step'
     # (persistent once-per-step binning — currently slower on TPU, see
     # RESULTS.md; flip via BENCH_BINNING once the regression is fixed)

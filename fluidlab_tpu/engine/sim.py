@@ -285,7 +285,7 @@ class FluidSim:
         mode = self.transfer
         if mode == "auto":
             on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
-            mode = "pallas" if (on_tpu and self.quality == 1) else "portable"
+            mode = "regions" if (on_tpu and self.quality == 1) else "portable"
         if mode == "pallas" and n_particles > 0:
             # exact per-substep binning: the fastest measured TPU config
             # (RESULTS.md).  binning_mode='step' (persistent sorting)

@@ -40,6 +40,8 @@ def main():
     cfg, params, state = liquid_block_scene(n_particles=N, horizon=H)
     if impl == "pallas":
         cfg = dataclasses.replace(cfg, p2g_impl="pallas", g2p_impl="pallas")
+    elif impl == "regions":
+        cfg = dataclasses.replace(cfg, p2g_impl="regions", g2p_impl="regions")
     step = make_step(cfg)
     ha = jnp.asarray(False)
 

@@ -32,6 +32,9 @@ def main():
             cfg, p2g_impl="pallas", g2p_impl="pallas",
             binning_mode="step", binning_margin=2,
         ),
+        "regions": dataclasses.replace(
+            cfg, p2g_impl="regions", g2p_impl="regions"
+        ),
     }
     outs = {}
     for name, c in variants.items():
@@ -45,7 +48,7 @@ def main():
 
     ref = outs["ref"]
     ok = True
-    for name in ("pallas2", "persist"):
+    for name in ("pallas2", "persist", "regions"):
         s = outs[name]
         for f in ("x", "v", "C", "F"):
             d = np.abs(
