@@ -1,11 +1,10 @@
 """Full-stack LatteArt trajectory-optimization iterations on real TPU.
 
-Round-1 status: env build + target recording run on hardware (pallas
-transfers, ~0.3 s/step at 46k particles), but the first fwd+bwd solve
-iteration crashes the TPU worker — with BOTH pallas and portable
-transfers and remat windows 50/20, while agent-free fwd+bwd at the same
-N works (tools/bench_grad.py).  Prime suspects: injection-AD or the
-loss-target scan xs.  Kept as the round-2 repro."""
+Records a demo target, then runs 3 Adam iterations of the trajectory
+optimizer (46k particles, H=100, agent + injection).  The round-1
+worker crash at this scale was fixed by the host-segmented backward
+(engine/rollout.py make_segmented_fwd_bwd, auto-selected on TPU);
+measured 86.2 s/iter steady state with pallas transfers (RESULTS.md)."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
