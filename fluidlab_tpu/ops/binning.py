@@ -75,26 +75,36 @@ def compute_binning(base, G: int) -> Binning:
     bid = (block[0] * nb + block[1]) * nb + block[2]
 
     if _MODE == "count":
+        # Gather-free plan (profiled on v5e, RESULTS.md): the naive
+        # take_along_axis(within, bid) costs 0.67 ms and the 64-entry
+        # table gather pstart[bid] another 0.52 ms per call — both are
+        # N-sized gathers that TPU serializes.  Instead every per-
+        # particle lookup into a (nb3,)-table is a masked row-reduce
+        # over the (N, nb3) one-hot lattice that already exists for the
+        # counting sort, and order/valid come from ONE fused scatter.
         onehot = (
             bid[:, None] == jnp.arange(nb3, dtype=jnp.int32)[None, :]
-        ).astype(jnp.int32)  # (N, nb3)
-        counts = jnp.sum(onehot, axis=0)
-        within = jnp.cumsum(onehot, axis=0)  # inclusive prefix per block
-        rank_in_block = (
-            jnp.take_along_axis(within, bid[:, None], axis=1)[:, 0] - 1
-        )
+        )  # (N, nb3) bool
+        onehot_i = onehot.astype(jnp.int32)
+        counts = jnp.sum(onehot_i, axis=0)
+        within = jnp.cumsum(onehot_i, axis=0)  # inclusive prefix per block
         cpad = jnp.maximum((counts + ALIGN - 1) // ALIGN, 1) * ALIGN
         pstart = jnp.concatenate([
             jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)
         ])
-        inv = pstart[bid] + rank_in_block
-        order = jnp.zeros((npad,), jnp.int32).at[inv].set(
-            jnp.arange(N, dtype=jnp.int32), unique_indices=True,
+        # inv[p] = pstart[bid[p]] + rank_in_block[p], as one select+sum
+        # pass over the one-hot lattice (no gathers).
+        inv = jnp.sum(
+            jnp.where(onehot, within - 1 + pstart[None, :nb3], 0), axis=1
+        )
+        # order & valid from one unique-index scatter: ids+1 so that
+        # untouched (dummy) slots read as invalid.
+        order1 = jnp.zeros((npad,), jnp.int32).at[inv].set(
+            jnp.arange(1, N + 1, dtype=jnp.int32), unique_indices=True,
             indices_are_sorted=False,
         )
-        valid = jnp.zeros((npad,), jnp.float32).at[inv].set(
-            1.0, unique_indices=True
-        )
+        valid = (order1 > 0).astype(jnp.float32)
+        order = jnp.maximum(order1 - 1, 0)
         return Binning(order=order, valid=valid, inv=inv, starts=pstart,
                        block=block)
 

@@ -66,6 +66,14 @@ def main():
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
           f"loss={float(val):.3f}", flush=True)
 
+    trace_dir = os.environ.get("FL_TRACE")
+    if trace_dir:
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            val, g = vg(state.particles.v, state)
+            jax.block_until_ready((val, g))
+        print("trace captured to", trace_dir, flush=True)
+
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
