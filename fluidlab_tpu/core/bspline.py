@@ -54,3 +54,16 @@ def quadratic_weights_soa(fx):
     w1 = 0.75 - (fx - 1.0) ** 2
     w2 = 0.5 * (fx - 0.5) ** 2
     return jnp.stack([w0, w1, w2])  # (offset, axis, N)
+
+
+def quadratic_dweights_soa(fx):
+    """d w_o / d fx, SoA: fx (3, N) -> (3 offsets, 3 axes, N).
+
+    Used by the transfer backward kernels (ops/transfer_bwd_pallas.py)
+    to contract grid cotangents against derivative-weight stencils and
+    return d_fx directly — 3 marginals instead of the 9 per-(axis,
+    offset) weight cotangents."""
+    d0 = fx - 1.5
+    d1 = -2.0 * (fx - 1.0)
+    d2 = fx - 0.5
+    return jnp.stack([d0, d1, d2])  # (offset, axis, N)

@@ -425,7 +425,7 @@ def make_substep(cfg: SimCfg):
 
             interp_r = not str(jax.devices()[0]).startswith("TPU")
             gridreg = p2g_regions(
-                base, fx, w, usedf, params.p_mass, v, affine, G, dx,
+                base, fx, usedf, params.p_mass, v, affine, G, dx,
                 binning, m=marg, presorted=presorted, interpret=interp_r,
             )  # (NB^3, 4, r2, RCOLS), fully-summed (halos redundant)
         elif "nop2g" in _ablate:
@@ -509,7 +509,7 @@ def make_substep(cfg: SimCfg):
 
             vreg = jnp.stack([v_out[d] for d in range(3)], axis=1)
             new_v, new_C = g2p_regions(
-                base, fx, w, vreg, G, inv_dx, binning,
+                base, fx, vreg, G, inv_dx, binning,
                 m=marg, presorted=presorted, interpret=interp_r,
             )
         elif "nog2p" in _ablate:

@@ -478,6 +478,98 @@ def _make_unsweep_x(m: int, nb: int, n_out: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _make_unsweep_yz_compact(m: int, nb: int, n_out: int):
+    """Transpose of sweep_yz followed by a channel de-interleave,
+    emitting the compact 4-channel region cotangent (NB^3, n_out, r2,
+    RCOLS) consumed by the v3 moment-backward kernel
+    (ops/transfer_bwd_pallas.py) — which folds the combine adjoint's
+    coordinate factors itself, so no 13-channel expansion is built."""
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 1)
+        b0 = row % region
+        z0 = col // CQ
+        zlive = z0 < region
+
+        tot = jnp.zeros((r2pad, QCOLS), jnp.float32)
+        idx = 0
+        # same transpose-term structure as _make_unsweep_yz_expand
+        for ej in (-1, 0, 1):
+            for ek in (-1, 0, 1):
+                x = refs[idx][0]
+                idx += 1
+                if ej == 0 and ek == 0:
+                    tot = tot + x
+                    continue
+                valid = zlive
+                if ej == -1:
+                    valid = valid & (b0 >= BLOCK)
+                elif ej == 1:
+                    valid = valid & (b0 < region - BLOCK)
+                if ek == -1:
+                    valid = valid & (z0 >= BLOCK)
+                elif ek == 1:
+                    valid = valid & (z0 < region - BLOCK)
+                edge = jnp.float32(1.0)
+                if ej != 0:
+                    edge = edge * jnp.where(
+                        (j + ej >= 0) & (j + ej < nb), 1.0, 0.0)
+                if ek != 0:
+                    edge = edge * jnp.where(
+                        (k + ek >= 0) & (k + ek < nb), 1.0, 0.0)
+                y = x * valid.astype(jnp.float32) * edge
+                if ej:
+                    y = _roll(y, BLOCK * ej, 0)
+                if ek:
+                    y = _roll(y, BLOCK * CQ * ek, 1)
+                tot = tot + y
+
+        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
+        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
+        z_src = cin // CQ
+        q_src = cin % CQ
+        for q in range(n_out):
+            Sq = ((z_src == zout) & (z_src < region)
+                  & (q_src == q)).astype(jnp.float32)
+            out_ref[0, q] = _mm(tot, Sq)[:r2]
+
+    def run(dbar):
+        nb3 = nb * nb * nb
+
+        def mk_index(ej, ek):
+            def index(i, j, k):
+                jj = jnp.clip(j + ej, 0, nb - 1)
+                kk = jnp.clip(k + ek, 0, nb - 1)
+                return ((i * nb + jj) * nb + kk, 0, 0)
+            return index
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb3, n_out, r2, RCOLS), jnp.float32
+            ),
+            grid=(nb, nb, nb),
+            in_specs=[
+                pl.BlockSpec((1, r2pad, QCOLS), mk_index(ej, ek))
+                for ej in (-1, 0, 1) for ek in (-1, 0, 1)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_out, r2, RCOLS),
+                lambda i, j, k: ((i * nb + j) * nb + k, 0, 0, 0),
+            ),
+        )(*([dbar] * 9))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _make_unsweep_yz_expand(m: int, nb: int, n_mom: int, has_mass: bool,
                             scale: float):
     """Transpose of sweep_yz followed by the combine adjoint, emitting
@@ -602,21 +694,30 @@ def _pack13(w, lbase_global, feats, order, valid, inv, block, m, presorted):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def p2g_regions_core(w, lbase_global, feats, order, valid, inv, starts,
+def p2g_regions_core(fx, lbase_global, feats, order, valid, inv, starts,
                      block, G: int, m: int, presorted: bool,
                      interpret: bool):
     """Fully-summed per-block grid regions (NB^3, 4, r2, RCOLS) with
     channels [mom_xyz, mass]; mom already combined with the global cell
-    position (x_cell = cell * dx is folded in via scale=dx upstream)."""
+    position (x_cell = cell * dx is folded in via scale=dx upstream).
+
+    The custom VJP boundary sits at ``fx`` (not the 9 spline weights):
+    the backward contracts derivative-weight stencils and returns d_fx
+    directly (ops/transfer_bwd_pallas.py v3 kernel), which collapses
+    the 9 weight marginals to 3 and keeps the cotangent regions in
+    their compact 4-channel form."""
     return _p2g_regions_fwd(
-        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
+        fx, lbase_global, feats, order, valid, inv, starts, block, G, m,
         presorted, interpret,
     )[0]
 
 
-def _p2g_regions_impl(w, lbase_global, feats, order, valid, inv, starts,
+def _p2g_regions_impl(fx, lbase_global, feats, order, valid, inv, starts,
                       block, G, m, presorted, interpret, scale):
+    from fluidlab_tpu.core.bspline import quadratic_weights_soa
+
     nb = G // BLOCK
+    w = quadratic_weights_soa(fx)
     packed = _pack13(w, lbase_global, feats, order, valid, inv, block, m,
                      presorted)
     c2b = chunk_to_block(starts, packed.shape[0])
@@ -635,51 +736,53 @@ def _p2g_regions_impl(w, lbase_global, feats, order, valid, inv, starts,
     return run()
 
 
-def _p2g_regions_fwd(w, lbase_global, feats, order, valid, inv, starts,
+def _p2g_regions_fwd(fx, lbase_global, feats, order, valid, inv, starts,
                      block, G, m, presorted, interpret):
     from fluidlab_tpu.ops.p2g_pallas import _dx_scale
 
     out = _p2g_regions_impl(
-        w, lbase_global, feats, order, valid, inv, starts, block, G, m,
+        fx, lbase_global, feats, order, valid, inv, starts, block, G, m,
         presorted, interpret, _dx_scale(G),
     )
-    return out, (w, lbase_global, feats, order, valid, inv, starts, block)
+    return out, (fx, lbase_global, feats, order, valid, inv, starts, block)
 
 
 def _p2g_regions_bwd(G, m, presorted, interpret, res, rbar):
     from fluidlab_tpu.ops.p2g_pallas import _dx_scale
-    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd_fx
 
-    w, lbase, feats, order, valid, inv, starts, block = res
+    fx, lbase, feats, order, valid, inv, starts, block = res
     nb = G // BLOCK
     scale = _dx_scale(G)
 
     usx = _make_unsweep_x(m, nb, 4)
-    uyz = _make_unsweep_yz_expand(m, nb, 3, True, scale)
+    uyz = _make_unsweep_yz_compact(m, nb, 4)
 
     def run():
         return uyz(usx(rbar))
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            flat = run()
+            compact = run()
     else:
-        flat = run()
+        compact = run()
 
-    d_feats, d_w = transfer_bwd(
-        w, lbase, feats, None, order, valid, inv, starts, block,
-        G, m, presorted, interpret, regions_flat=flat, n_chan=13,
+    d_feats, d_fx = transfer_bwd_fx(
+        fx, lbase, feats, compact, order, valid, inv, starts, block,
+        G, m, presorted, interpret, nq=3, has_mass=True,
+        need_dfeats=True, scale=scale,
     )
-    return d_w, None, d_feats, None, None, None, None, None
+    return d_fx, None, d_feats, None, None, None, None, None
 
 
 p2g_regions_core.defvjp(_p2g_regions_fwd, _p2g_regions_bwd)
 
 
-def p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
+def p2g_regions(base, fx, usedf, mass, v, affine, G, dx, binning,
                 m: int = 0, presorted: bool = False, interpret: bool = False):
     """Region-space P2G: (NB^3, 4, r2, RCOLS) fully-summed grid regions.
-    Same feature prep as ops/p2g_pallas.py p2g_pallas."""
+    Same feature prep as ops/p2g_pallas.py p2g_pallas; spline weights
+    are derived from ``fx`` inside the core (see p2g_regions_core)."""
     from fluidlab_tpu.core.mat3 import mv_soa
 
     x_p = (base.astype(v.dtype) + fx) * dx
@@ -689,7 +792,7 @@ def p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
         [b, affine, mass[None, :]], axis=0
     ) * usedf[None, :]
     return p2g_regions_core(
-        w, base, feats, binning.order, binning.valid, binning.inv,
+        fx, base, feats, binning.order, binning.valid, binning.inv,
         binning.starts, binning.block, G, m, presorted, interpret,
     )
 
@@ -697,24 +800,27 @@ def p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
 # --------------------------------------------- G2P from velocity regions
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def g2p_regions_core(w, base, vregions, order, valid, inv, starts, block,
+def g2p_regions_core(fx, base, vregions, order, valid, inv, starts, block,
                      G: int, m: int, presorted: bool, interpret: bool):
     """G2P moments from per-block velocity regions (NB^3, 3, r2, RCOLS):
-    (S0 (3, N), S1_global (9, N)) as in ops/g2p_pallas.py."""
+    (S0 (3, N), S1_global (9, N)) as in ops/g2p_pallas.py.  VJP boundary
+    at ``fx`` (see p2g_regions_core)."""
     return _g2p_regions_fwd(
-        w, base, vregions, order, valid, inv, starts, block, G, m,
+        fx, base, vregions, order, valid, inv, starts, block, G, m,
         presorted, interpret,
     )[0]
 
 
-def _g2p_regions_impl(w, base, vregions, order, valid, inv, starts, block,
+def _g2p_regions_impl(fx, base, vregions, order, valid, inv, starts, block,
                       G, m, presorted, interpret):
+    from fluidlab_tpu.core.bspline import quadratic_weights_soa
     from fluidlab_tpu.ops.g2p_pallas import PACKG, _make_g2p_blocks
 
-    N = w.shape[-1]
+    N = fx.shape[-1]
     npad = N if presorted else order.shape[0]
     nb = G // BLOCK
 
+    w = quadratic_weights_soa(fx)
     lb = (base - block * BLOCK + m).astype(jnp.float32)
     rows = jnp.concatenate([w[:, 0], w[:, 1], w[:, 2], lb], axis=0)
     if not presorted:
@@ -748,29 +854,30 @@ def _g2p_regions_impl(w, base, vregions, order, valid, inv, starts, block,
     return S0, S1g
 
 
-def _g2p_regions_fwd(w, base, vregions, order, valid, inv, starts, block,
+def _g2p_regions_fwd(fx, base, vregions, order, valid, inv, starts, block,
                      G, m, presorted, interpret):
     out = _g2p_regions_impl(
-        w, base, vregions, order, valid, inv, starts, block, G, m,
+        fx, base, vregions, order, valid, inv, starts, block, G, m,
         presorted, interpret,
     )
-    return out, (w, base, vregions, order, valid, inv, starts, block)
+    return out, (fx, base, vregions, order, valid, inv, starts, block)
 
 
 def _g2p_regions_bwd(G, m, presorted, interpret, res, cots):
     """d_vregions via the accumulate(+combine, scale=1) kernel over the
     cotangent features [S0bar | S1bar] (each block's own particles only
-    touch its own region — no halo merge in this direction); d_w via the
-    moment-backward kernel against [v | v*cell] region grids."""
-    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd
+    touch its own region — no halo merge in this direction); d_fx via
+    the v3 moment-backward kernel reading the velocity regions
+    directly (coordinate factors folded in-kernel — no [v | v*cell]
+    channel-grid build)."""
+    from fluidlab_tpu.core.bspline import quadratic_weights_soa
+    from fluidlab_tpu.ops.transfer_bwd_pallas import transfer_bwd_fx
 
-    w, base, vregions, order, valid, inv, starts, block = res
+    fx, base, vregions, order, valid, inv, starts, block = res
     S0bar, S1bar = cots
     nb = G // BLOCK
-    region = _region(m)
-    r2 = region * region
-    r2pad = _r2pad(m)
 
+    w = quadratic_weights_soa(fx)
     feats12 = jnp.concatenate([S0bar, S1bar], axis=0)
     feats13 = jnp.concatenate(
         [feats12, jnp.zeros((1, S0bar.shape[-1]), S0bar.dtype)], axis=0
@@ -785,43 +892,23 @@ def _g2p_regions_bwd(G, m, presorted, interpret, res, cots):
     else:
         d_vreg = acc_fn(packed, c2b)
 
-    # d_w: flat region grids [v | v * cell_d] built in-layout (no
-    # canonical grid): cell_d = block origin + local region coordinate
-    nb3 = nb * nb * nb
-    bidx = jnp.arange(nb3, dtype=jnp.int32)
-    borig = jnp.stack([
-        bidx // (nb * nb), (bidx // nb) % nb, bidx % nb
-    ]).astype(jnp.float32) * BLOCK - m  # (3, NB^3)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 1)
-    zc = jax.lax.broadcasted_iota(jnp.int32, (1, r2, RCOLS), 2)
-    coord = [
-        borig[0][:, None, None] + (row // region).astype(jnp.float32),
-        borig[1][:, None, None] + (row % region).astype(jnp.float32),
-        borig[2][:, None, None] + zc.astype(jnp.float32),
-    ]  # each (NB^3, r2, RCOLS)
-    chans = [vregions[:, i] for i in range(3)]
-    chans += [vregions[:, i] * coord[d] for i in range(3) for d in range(3)]
-    grids12 = jnp.stack(chans, axis=1)  # (NB^3, 12, r2, RCOLS)
-    flat = jnp.pad(
-        grids12, ((0, 0), (0, 0), (0, r2pad - r2), (0, 0))
-    ).reshape(nb3, 12 * r2pad, RCOLS)
-
-    _, d_w = transfer_bwd(
-        w, base, feats12, None, order, valid, inv, starts, block,
-        G, m, presorted, interpret, regions_flat=flat, n_chan=12,
+    _, d_fx = transfer_bwd_fx(
+        fx, base, feats12, vregions, order, valid, inv, starts, block,
+        G, m, presorted, interpret, nq=3, has_mass=False,
+        need_dfeats=False, scale=1.0,
     )
-    return d_w, None, d_vreg, None, None, None, None, None
+    return d_fx, None, d_vreg, None, None, None, None, None
 
 
 g2p_regions_core.defvjp(_g2p_regions_fwd, _g2p_regions_bwd)
 
 
-def g2p_regions(base, fx, w, vregions, G, inv_dx, binning, m: int = 0,
+def g2p_regions(base, fx, vregions, G, inv_dx, binning, m: int = 0,
                 presorted: bool = False, interpret: bool = False):
     """Region-space G2P: (new_v (3, N), new_C (9, N)) from velocity
     regions — same math as ops/g2p_pallas.py g2p_pallas."""
     S0, S1g = g2p_regions_core(
-        w, base, vregions, binning.order, binning.valid, binning.inv,
+        fx, base, vregions, binning.order, binning.valid, binning.inv,
         binning.starts, binning.block, G, m, presorted, interpret,
     )
     xg = base.astype(S0.dtype) + fx

@@ -263,6 +263,213 @@ def _make_bwd_kernel_v2(m: int, C: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel_v3(m: int, nq: int, has_mass: bool,
+                        need_dfeats: bool, scale: float, nb: int):
+    """Compact-channel moment-backward kernel returning d_fx directly.
+
+    The v2 kernel contracts C in {12, 13} *coordinate-expanded* channel
+    grids against 4 z-stencils per chunk — a (4*CHUNK, C*r2pad) MXU
+    contraction that dominates the whole backward (~11 ms/substep per
+    call at 65k, RESULTS.md).  But those C channels are built from only
+    nq (+mass) independent grids R_q with per-cell coordinate factors:
+
+        F_p(cell) = sum_q (c0_q + sum_d c_{q,d} x_d(cell)) R_q(cell)
+                    [+ m_c R_m(cell)],   x_d = (origin_d + local_d)*scale
+
+    (P2G bwd: R = the 4-channel grid cotangent, c0 = b, c = A, m_c =
+    mass; G2P d_w: R = the 3 velocity grids, c0 = S0bar, c = S1bar.)
+    And the 9 weight cotangents d_w[ax, o] are only ever consumed as
+    d_fx[ax] = sum_o d_w[ax, o] * spline'_o(fx_ax) — so contracting
+    against *derivative-weight* stencils W'ax collapses the 9 indicator
+    marginals to 3:
+
+        d_fx[ax, p] = sum_cells (d wprod / d fx_ax)(cell) F_p(cell)
+
+    MXU work per chunk drops from (4*CHUNK) x (13*r2pad) x RCOLS to
+    nqt dots of (4*CHUNK) x r2 x RCOLS — ~6.5x fewer FLOPs — and the
+    consumers (unsweep combine-adjoint expansion, the G2P-bwd grids12
+    build) shrink to plain de-interleaves.
+
+    packed rows: w(9) wp(9) lb(3) feats(C); regions (1, nqt, r2, RCOLS)
+    (the forward G2P region layout — G2P bwd passes its vregions
+    verbatim).  out rows: [d_feats(C) | d_fx(3)].
+    """
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+    nqt = nq + (1 if has_mass else 0)
+    C = 4 * nq + (1 if has_mass else 0)
+
+    def kernel(c2b_ref, packed_ref, regions_ref, out_ref):
+        i = pl.program_id(0)
+        b = c2b_ref[i]
+        bj = (b // nb) % nb
+        bk = b % nb
+        oa_cells = ((b // (nb * nb)) * BLOCK - m).astype(jnp.float32)
+        ob_cells = (bj * BLOCK - m).astype(jnp.float32)
+        oz_cells = (bk * BLOCK - m).astype(jnp.float32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+        a_col = jnp.minimum(col // region, region - 1)
+        b_col = col % region
+        col_valid = (col < r2).astype(jnp.float32)
+        zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
+        z_valid = (zcol < region).astype(jnp.float32)
+        # global scaled coordinates of the region's cells
+        xag = (oa_cells + a_col.astype(jnp.float32)) * scale
+        xbg = (ob_cells + b_col.astype(jnp.float32)) * scale
+        xzg = (oz_cells + zcol.astype(jnp.float32)) * scale
+
+        pk = packed_ref[...]  # (CHUNK, PACKB)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        dvals = (pk[:, 9:12], pk[:, 12:15], pk[:, 15:18])
+        lvals = pk[:, 18:21].astype(jnp.int32)
+        fvals = pk[:, 21:21 + C]
+
+        def onehot(w_axis, lb, ids, valid):
+            off = ids - lb
+            out = jnp.zeros(ids.shape, jnp.float32)
+            for o in range(3):
+                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+            return out * valid
+
+        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+        Dz = onehot(dvals[2], lvals[:, 2:3], zcol, z_valid)
+        lhs = jnp.concatenate([Wz, Wz * xzg, Dz, Dz * xzg], axis=0)
+
+        GZ, GZX, DZ, DZX = [], [], [], []
+        for q in range(nqt):
+            zc = jax.lax.dot_general(
+                lhs, regions_ref[0, q], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4*CHUNK, r2)
+            zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
+            GZ.append(zc[0 * CHUNK:1 * CHUNK])
+            GZX.append(zc[1 * CHUNK:2 * CHUNK])
+            DZ.append(zc[2 * CHUNK:3 * CHUNK])
+            DZX.append(zc[3 * CHUNK:4 * CHUNK])
+
+        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+        T = Wx * Wy
+
+        rows = []
+        if need_dfeats:
+            Ta = T * xag
+            Tb = T * xbg
+            rows += [jnp.sum(T * GZ[q], axis=1) for q in range(nq)]
+            for q in range(nq):
+                rows += [jnp.sum(Ta * GZ[q], axis=1),
+                         jnp.sum(Tb * GZ[q], axis=1),
+                         jnp.sum(T * GZX[q], axis=1)]
+            if has_mass:
+                rows.append(jnp.sum(T * GZ[nq], axis=1))
+        else:
+            rows += [jnp.zeros((CHUNK,), jnp.float32)] * C
+
+        # feats-contracted z-profiles of F (and of its W'z contraction)
+        def fprofile(Z, ZX):
+            P0 = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            Pa = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            Pb = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            for q in range(nq):
+                P0 = P0 + fvals[:, q:q + 1] * Z[q]
+                P0 = P0 + fvals[:, nq + 3 * q + 2:nq + 3 * q + 3] * ZX[q]
+                Pa = Pa + fvals[:, nq + 3 * q:nq + 3 * q + 1] * Z[q]
+                Pb = Pb + fvals[:, nq + 3 * q + 1:nq + 3 * q + 2] * Z[q]
+            if has_mass:
+                P0 = P0 + fvals[:, 4 * nq:4 * nq + 1] * Z[nq]
+            return P0 + xag * Pa + xbg * Pb
+
+        FZ = fprofile(GZ, GZX)
+        FD = fprofile(DZ, DZX)
+        Dx = onehot(dvals[0], lvals[:, 0:1], a_col, col_valid)
+        Dy = onehot(dvals[1], lvals[:, 1:2], b_col, col_valid)
+        rows += [
+            jnp.sum(Dx * Wy * FZ, axis=1),
+            jnp.sum(Wx * Dy * FZ, axis=1),
+            jnp.sum(T * FD, axis=1),
+        ]
+
+        out = jnp.stack(rows, axis=1)  # (CHUNK, C + 3)
+        out_ref[...] = jnp.pad(out, ((0, 0), (0, OUTB - (C + 3))))
+
+    def run(packed, regions, c2b, n_pad: int):
+        nch = packed.shape[0] // CHUNK
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec((CHUNK, PACKB), lambda i, c2b: (i, 0)),
+                pl.BlockSpec(
+                    (1, nqt, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((CHUNK, OUTB), lambda i, c2b: (i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, OUTB), jnp.float32),
+            grid_spec=grid_spec,
+        )(c2b, packed, regions)
+
+    return run
+
+
+def transfer_bwd_fx(fx, base, feats, regions, order, valid, inv, starts,
+                    block, G: int, m: int, presorted: bool,
+                    interpret: bool, nq: int, has_mass: bool,
+                    need_dfeats: bool, scale: float):
+    """(d_feats (C, N) or None, d_fx (3, N)) against compact-channel
+    regions (NB^3, nqt, r2, RCOLS); see _make_bwd_kernel_v3."""
+    from fluidlab_tpu.core.bspline import (
+        quadratic_dweights_soa,
+        quadratic_weights_soa,
+    )
+
+    C = feats.shape[0]
+    N = fx.shape[-1]
+    npad = N if presorted else order.shape[0]
+    nb = G // BLOCK
+
+    w = quadratic_weights_soa(fx)
+    wp = quadratic_dweights_soa(fx)
+    lb = (base - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [w[:, 0], w[:, 1], w[:, 2], wp[:, 0], wp[:, 1], wp[:, 2],
+         lb, feats], axis=0,
+    )  # (21 + C, N)
+    if not presorted:
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)
+        vz = valid[None, :]
+        rows = jnp.concatenate(
+            [rows[:3] * vz, rows[3:9], rows[9:12] * vz, rows[12:]], axis=0
+        )
+    rows = jnp.pad(rows, ((0, PACKB - 21 - C), (0, 0)))
+    packed = rows.T  # (NPAD, PACKB)
+    c2b = chunk_to_block(starts, npad)
+
+    fn = _make_bwd_kernel_v3(m, nq, has_mass, need_dfeats, scale, nb)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            out = fn(packed, regions, c2b, npad)
+    else:
+        out = fn(packed, regions, c2b, npad)
+
+    res = out[:npad, :C + 3]
+    if not presorted:
+        from fluidlab_tpu.ops.binning import unpack_rows
+
+        res = unpack_rows(res, order, valid, inv)
+    res_t = res.T  # (C + 3, N)
+    d_feats = res_t[:C] if need_dfeats else None
+    d_fx = res_t[C:C + 3]
+    return d_feats, d_fx
+
+
 def _build_regions_flat(grids, G: int, nb: int, m: int):
     """(C, G^3) -> (NB^3, C*r2pad, RCOLS): the v2 kernel's ab-padded
     channel-flattened halo regions (padding rows are zero, so padded

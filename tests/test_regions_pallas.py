@@ -42,7 +42,7 @@ def test_p2g_regions_matches_canonical(inputs, m):
     binning = compute_binning(base, G)
     grid = p2g_scatter(base, fx, w, usedf, mass, v, affine, G, dx)
     ref = _build_regions(grid, G, nb, m)  # (NB^3, 4, r2, RCOLS)
-    out = p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx,
+    out = p2g_regions(base, fx, usedf, mass, v, affine, G, dx,
                       binning, m=m, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
@@ -57,7 +57,7 @@ def test_g2p_regions_matches_canonical(inputs, m):
     vregions = _build_regions(v_out, G, nb, m)
     a_v, a_C = g2p_pallas(base, fx, w, v_out, G, float(G), interpret=True,
                           binning=binning, m=m)
-    b_v, b_C = g2p_regions(base, fx, w, vregions, G, float(G), binning,
+    b_v, b_C = g2p_regions(base, fx, vregions, G, float(G), binning,
                            m=m, interpret=True)
     np.testing.assert_allclose(np.asarray(b_v), np.asarray(a_v), atol=3e-5)
     np.testing.assert_allclose(np.asarray(b_C), np.asarray(a_C), atol=3e-4)
@@ -65,8 +65,10 @@ def test_g2p_regions_matches_canonical(inputs, m):
 
 def _roundtrip_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
                        m):
-    """p2g -> fake pointwise grid_op -> g2p, all in region space."""
-    gridreg = p2g_regions(base, fx, w, usedf, mass, v, affine, G, dx,
+    """p2g -> fake pointwise grid_op -> g2p, all in region space.
+    ``w`` accepted for signature parity with the canonical roundtrip but
+    unused — the region cores derive weights from ``fx``."""
+    gridreg = p2g_regions(base, fx, usedf, mass, v, affine, G, dx,
                           binning, m=m, interpret=True)
     mass_r = gridreg[:, 3]
     inv_mass = 1.0 / jnp.maximum(mass_r, 1e-12)
@@ -74,7 +76,7 @@ def _roundtrip_regions(base, fx, w, usedf, mass, v, affine, G, dx, binning,
     vreg = jnp.stack(
         [gridreg[:, d] * inv_mass * active for d in range(3)], axis=1
     )
-    new_v, new_C = g2p_regions(base, fx, w, vreg, G, float(G), binning,
+    new_v, new_C = g2p_regions(base, fx, vreg, G, float(G), binning,
                                m=m, interpret=True)
     return new_v, new_C
 
@@ -108,18 +110,23 @@ def test_roundtrip_gradients_match(inputs, m):
     base, fx, w, usedf, mass, v, affine, G, dx = inputs
     binning = compute_binning(base, G)
 
-    def loss(fn, v_, a_, w_):
-        nv, nC = fn(base, fx, w_, usedf, mass, v_, a_, G, dx, binning, m)
+    # differentiate wrt fx too: the regions path's custom VJP boundary
+    # sits at fx (derivative-weight marginals), the canonical path
+    # chains d_w -> d_fx through quadratic_weights_soa — both must
+    # produce the same d_fx.
+    def loss(fn, v_, a_, fx_):
+        w_ = quadratic_weights_soa(fx_)
+        nv, nC = fn(base, fx_, w_, usedf, mass, v_, a_, G, dx, binning, m)
         return jnp.sum(nv * 0.3) + jnp.sum(nC * 0.05)
 
     g1 = jax.grad(
-        lambda v_, a_, w_: loss(_roundtrip_canonical, v_, a_, w_),
+        lambda v_, a_, fx_: loss(_roundtrip_canonical, v_, a_, fx_),
         argnums=(0, 1, 2),
-    )(v, affine, w)
+    )(v, affine, fx)
     g2 = jax.grad(
-        lambda v_, a_, w_: loss(_roundtrip_regions, v_, a_, w_),
+        lambda v_, a_, fx_: loss(_roundtrip_regions, v_, a_, fx_),
         argnums=(0, 1, 2),
-    )(v, affine, w)
+    )(v, affine, fx)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3
