@@ -31,8 +31,17 @@ def checkpointed_scan(f, init, xs, window: Optional[int] = None):
     """``lax.scan`` with per-iteration remat and optional two-level
     windowing.  ``xs`` leaves must share leading dim H; if ``window``
     divides H, iterations are grouped into H/window windows with an
-    additional checkpoint at window boundaries."""
+    additional checkpoint at window boundaries.
+
+    ``window=0`` disables rematerialization entirely: the backward
+    reads every AD residual from the forward (no recompute — the
+    backward sweep stops paying the ~1x-forward replay), at the cost
+    of O(H) residual memory.  Use for short segments (the host-
+    segmented backward bounds H per compiled program, so seg_len
+    becomes the memory knob)."""
     H = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if window == 0:
+        return jax.lax.scan(f, init, xs)
     f_ckpt = jax.checkpoint(f)
     if window is None or window >= H or H % window != 0:
         return jax.lax.scan(f_ckpt, init, xs)

@@ -54,9 +54,15 @@ class Solver:
             # Host-segmented backward: bounded compiled-program size, the
             # workaround for the TPU worker fault on monolithic fwd+bwd at
             # large N x horizon (see FluidSim.auto_seg_len).
+            # Segment remat window: None = per-step checkpoint (safe
+            # default); FL_SEG_WINDOW=0 disables remat inside segments
+            # (backward reads saved residuals — no recompute, ~13%
+            # faster at 65k, RESULTS.md — at O(seg_len) residual HBM).
+            sw = os.environ.get("FL_SEG_WINDOW")
             seg_fb = make_segmented_fwd_bwd(
                 sim.cfg, loss_fn=loss.loss_fn,
-                smoke_step_fn=sim._smoke_step_fn, window=None,
+                smoke_step_fn=sim._smoke_step_fn,
+                window=int(sw) if sw is not None else None,
                 action_overlay=overlay, seg_len=seg_len,
             )
 

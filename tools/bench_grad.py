@@ -55,7 +55,8 @@ def main():
             s1 = step(s, params, a, ha)
             return s1, jnp.sum(s1.particles.v ** 2)
         actions = jnp.zeros((H, 1), jnp.float32)
-        sH, per_step = checkpointed_scan(body, s0, actions, window=5)
+        window = int(os.environ.get("FL_WINDOW", "5"))
+        sH, per_step = checkpointed_scan(body, s0, actions, window=window)
         return jnp.sum(per_step) + jnp.sum(jnp.abs(sH.particles.x))
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
