@@ -63,6 +63,10 @@ import os as _os
 
 _INJECT_MODE = _os.environ.get("FL_INJECT", "cond")
 _AGENT_COND_MODE = _os.environ.get("FL_AGENT_COND", "cond")
+# FL_GRIDPHASE: 'merged' (single custom VJP over p2g->grid_op->g2p with
+# the fused moment-backward kernel; default) | 'split' (separate
+# p2g_regions / g2p_regions custom VJPs) -- regions impl only.
+_GRIDPHASE = _os.environ.get("FL_GRIDPHASE", "merged")
 # crash-bisection ablation: which injection writes run in the mask/
 # customvjp modes (comma set of x,v,used,act; NOT semantics-preserving
 # unless all four are on)
@@ -424,10 +428,12 @@ def make_substep(cfg: SimCfg):
             from fluidlab_tpu.ops.regions_pallas import p2g_regions
 
             interp_r = not str(jax.devices()[0]).startswith("TPU")
-            gridreg = p2g_regions(
-                base, fx, usedf, params.p_mass, v, affine, G, dx,
-                binning, m=marg, presorted=presorted, interpret=interp_r,
-            )  # (NB^3, 4, r2, RCOLS), fully-summed (halos redundant)
+            if _GRIDPHASE != "merged":
+                gridreg = p2g_regions(
+                    base, fx, usedf, params.p_mass, v, affine, G, dx,
+                    binning, m=marg, presorted=presorted,
+                    interpret=interp_r,
+                )  # (NB^3, 4, r2, RCOLS), fully-summed (halos redundant)
         elif "nop2g" in _ablate:
             grid = jnp.ones((4, G3), x.dtype) * jnp.sum(affine) * 1e-20
         elif use_pallas_p2g:
@@ -457,22 +463,35 @@ def make_substep(cfg: SimCfg):
         # pointwise over the block-region layout (halo cells computed
         # redundantly; every copy of a global cell sees identical
         # inputs, so copies stay consistent) — the canonical (C, G^3)
-        # grid never exists.
-        if use_regions:
-            mass_g = gridreg[:, 3]  # (NB^3, r2, RCOLS)
-            active = mass_g > EPS
-            inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
-            v_out = jnp.stack([
-                gridreg[:, d] * inv_mass + dt * gravity[d] for d in range(3)
+        # grid never exists.  The regions grid_op is a closure so the
+        # fused grid phase (make_grid_phase) can take its VJP with
+        # jax.vjp inside the merged backward.
+        def _gridop_regions(greg, vop):
+            params_, effs_, effs_next_, statics_regions_ = vop
+            mass_g = greg[:, 3]  # (NB^3, r2, RCOLS)
+            act_g = mass_g > EPS
+            inv_m = 1.0 / jnp.maximum(mass_g, EPS)
+            vo = jnp.stack([
+                greg[:, d] * inv_m + dt * gravity[d] for d in range(3)
             ])  # (3, NB^3, r2, RCOLS)
-            cell_pos = _region_cell_pos()
+            cpos = _region_cell_pos()
             if cfg.n_statics > 0:
                 for si in range(cfg.n_statics):
-                    sdf_r, normal_r = statics_regions[si]
-                    v_out = sdf_ops.static_collide(
-                        v_out, sdf_r, normal_r, params.statics_friction[si]
+                    sdf_r, normal_r = statics_regions_[si]
+                    vo = sdf_ops.static_collide(
+                        vo, sdf_r, normal_r, params_.statics_friction[si]
                     )
-        else:
+            if agent is not None and agent.collide_type in ("grid", "both"):
+                shp = vo.shape
+                vo = _agent_collide(
+                    cfg, params_, cpos.reshape(3, -1), vo.reshape(3, -1),
+                    effs_, effs_next_,
+                ).reshape(shp)
+            _, vo = cfg.boundary.impose_x_v(cpos, vo)
+            vo = vo * act_g[None].astype(vo.dtype)
+            return jnp.stack([vo[d] for d in range(3)], axis=1)
+
+        if not use_regions:
             mass_g = grid[3]
             active = mass_g > EPS
             inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
@@ -488,14 +507,14 @@ def make_substep(cfg: SimCfg):
                         params.statics_normal[si],
                         params.statics_friction[si],
                     )
-        if agent is not None and agent.collide_type in ("grid", "both"):
-            shp = v_out.shape
-            v_out = _agent_collide(
-                cfg, params, cell_pos.reshape(3, -1), v_out.reshape(3, -1),
-                effs, effs_next,
-            ).reshape(shp)
-        _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
-        v_out = v_out * active[None].astype(x.dtype)
+            if agent is not None and agent.collide_type in ("grid", "both"):
+                shp = v_out.shape
+                v_out = _agent_collide(
+                    cfg, params, cell_pos.reshape(3, -1),
+                    v_out.reshape(3, -1), effs, effs_next,
+                ).reshape(shp)
+            _, v_out = cfg.boundary.impose_x_v(cell_pos, v_out)
+            v_out = v_out * active[None].astype(x.dtype)
 
         # ---- G2P (:400-426).  TPU XLA gathers cost ~16 ms/substep at 65k
         # particles (27 separate or one fused 27N gather alike, measured),
@@ -505,13 +524,38 @@ def make_substep(cfg: SimCfg):
         new_v = jnp.zeros_like(v)
         new_C = jnp.zeros_like(C)
         if use_regions:
-            from fluidlab_tpu.ops.regions_pallas import g2p_regions
+            vop = (params, effs, effs_next, statics_regions)
+            if _GRIDPHASE == "merged":
+                from fluidlab_tpu.ops.regions_pallas import make_grid_phase
 
-            vreg = jnp.stack([v_out[d] for d in range(3)], axis=1)
-            new_v, new_C = g2p_regions(
-                base, fx, vreg, G, inv_dx, binning,
-                m=marg, presorted=presorted, interpret=interp_r,
-            )
+                # feats13 = [b | affine | mass] (ops/regions_pallas.py
+                # p2g_regions feature prep)
+                x_p = (base.astype(v.dtype) + fx) * dx
+                Ax = mv_soa(affine, x_p)
+                b3 = jnp.stack([
+                    params.p_mass * v[i] - Ax[i] for i in range(3)
+                ])
+                feats13 = jnp.concatenate(
+                    [b3, affine, params.p_mass[None, :]], axis=0
+                ) * usedf[None, :]
+                phase = make_grid_phase(
+                    _gridop_regions, G, marg, presorted, interp_r
+                )
+                S0, S1g = phase(fx, base, feats13, vop, binning)
+                new_v = S0
+                xg = base.astype(S0.dtype) + fx
+                new_C = (4.0 * inv_dx) * jnp.stack([
+                    S1g[3 * i + d] - S0[i] * xg[d]
+                    for i in range(3) for d in range(3)
+                ])
+            else:
+                from fluidlab_tpu.ops.regions_pallas import g2p_regions
+
+                vreg = _gridop_regions(gridreg, vop)
+                new_v, new_C = g2p_regions(
+                    base, fx, vreg, G, inv_dx, binning,
+                    m=marg, presorted=presorted, interpret=interp_r,
+                )
         elif "nog2p" in _ablate:
             new_v = v * 0.999 + jnp.sum(v_out) * 1e-20
             new_C = C * 0.999

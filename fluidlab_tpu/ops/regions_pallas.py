@@ -797,6 +797,177 @@ def p2g_regions(base, fx, usedf, mass, v, affine, G, dx, binning,
     )
 
 
+# ----------------------------------------- fused grid phase (single VJP)
+
+def _pack_bwd_merged(w, wp, lbase_global, feats12, feats13, order, valid,
+                     inv, block, m, presorted):
+    """Packed rows for the fused backward: ONE buffer feeds both the
+    d_vregions accumulate kernel (reads cols 0:12 + feats at 12:12+CPAD)
+    and the merged moment-backward kernel (ops/transfer_bwd_pallas.py
+    _make_bwd_kernel_merged): w(9) lb(3) feats12(12) pad wp(9)
+    feats13(13)."""
+    from fluidlab_tpu.ops.transfer_bwd_pallas import PACKB
+
+    N = w.shape[-1]
+    lb = (lbase_global - block * BLOCK + m).astype(jnp.float32)
+    zpad = jnp.zeros((CPAD - 12, N), feats12.dtype)
+    rows = jnp.concatenate([
+        w[:, 0], w[:, 1], w[:, 2], lb, feats12, zpad,
+        wp[:, 0], wp[:, 1], wp[:, 2], feats13,
+    ], axis=0)
+    if not presorted:
+        from fluidlab_tpu.ops.binning import pack_rows
+
+        rows = pack_rows(rows, order, inv)
+        rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
+    rows = jnp.pad(rows, ((0, PACKB - rows.shape[0]), (0, 0)))
+    return rows.T  # (NPAD, PACKB)
+
+
+def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
+                    interpret: bool):
+    """Fused region-space grid phase with a single custom VJP:
+
+        gridreg = p2g accumulate + halo sweeps        [pallas]
+        vreg    = gridop_fn(gridreg, vop)             [pointwise XLA]
+        S0, S1g = g2p moments from vreg               [pallas]
+
+    vs the split p2g_regions/g2p_regions pair this shares one packed-row
+    buffer between the P2G and G2P kernels in the forward (the G2P
+    kernel reads the layout's first 12 columns), and the backward runs
+    ONE merged moment kernel for both transfer VJPs (shared masks and
+    z-stencil contractions; see _make_bwd_kernel_merged) plus a single
+    pack/unpack round-trip instead of two.
+
+    ``gridop_fn(gridreg, vop) -> vreg`` must be a pure jax function of
+    the (NB^3, 4, r2, RCOLS) grid regions and a differentiable pytree
+    ``vop`` (its VJP is taken with jax.vjp in the backward, recomputing
+    the pointwise forward from the saved gridreg).
+
+    Returns ``phase(fx, base, feats13, vop, binning) -> (S0, S1g)``.
+    Reference semantics: the grid side of mpm_simulator.py:331-426.
+    """
+    from fluidlab_tpu.core.bspline import (
+        quadratic_dweights_soa,
+        quadratic_weights_soa,
+    )
+    from fluidlab_tpu.ops.g2p_pallas import _make_g2p_blocks
+    from fluidlab_tpu.ops.p2g_pallas import _dx_scale
+    from fluidlab_tpu.ops.transfer_bwd_pallas import _make_bwd_kernel_merged
+
+    nb = G // BLOCK
+    scale_p = _dx_scale(G)
+
+    def _fwd(fx, base, feats13, vop, order, valid, inv, starts, block):
+        w = quadratic_weights_soa(fx)
+        packed = _pack13(w, base, feats13, order, valid, inv, block, m,
+                         presorted)
+        c2b = chunk_to_block(starts, packed.shape[0])
+        N = fx.shape[-1]
+        npad = packed.shape[0]
+
+        acc_fn = _make_accumulate_regions(m, nb, 3, True, scale_p, False)
+        syz = _make_sweep_yz(m, nb)
+        sxs = _make_sweep_x_select(m, nb, 4)
+
+        def run_p2g():
+            return sxs(syz(acc_fn(packed, c2b)))
+
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                gridreg = run_p2g()
+        else:
+            gridreg = run_p2g()
+
+        vreg = gridop_fn(gridreg, vop)
+
+        g2p_fn = _make_g2p_blocks(m)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                out = g2p_fn(packed, vreg, c2b, nb, npad)
+        else:
+            out = g2p_fn(packed, vreg, c2b, nb, npad)
+
+        res = out[:npad, :12]
+        if not presorted:
+            from fluidlab_tpu.ops.binning import unpack_rows
+
+            res = unpack_rows(res, order, valid, inv)
+        res_t = res.T
+        S0 = res_t[:3]
+        S1loc = res_t[3:12]
+        borig = (block * BLOCK - m).astype(jnp.float32)
+        S1g = jnp.stack([
+            S1loc[3 * i + d] + borig[d] * S0[i]
+            for i in range(3) for d in range(3)
+        ])
+        saved = (fx, base, feats13, vop, gridreg, order, valid, inv,
+                 starts, block)
+        return (S0, S1g), saved
+
+    def _bwd(res, cots):
+        fx, base, feats13, vop, gridreg, order, valid, inv, starts, \
+            block = res
+        S0bar, S1bar = cots
+
+        # 1. d_vregions: each block's own particles only touch its own
+        # region (no halo merge in this direction) — one accumulate
+        # kernel over the cotangent features, global cell coordinates.
+        w = quadratic_weights_soa(fx)
+        wp = quadratic_dweights_soa(fx)
+        feats12 = jnp.concatenate([S0bar, S1bar], axis=0)
+        packed = _pack_bwd_merged(w, wp, base, feats12, feats13, order,
+                                  valid, inv, block, m, presorted)
+        c2b = chunk_to_block(starts, packed.shape[0])
+        npad = packed.shape[0]
+        acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                d_vreg = acc_fn(packed, c2b)
+        else:
+            d_vreg = acc_fn(packed, c2b)
+
+        # 2. grid_op VJP (pointwise XLA, recomputed from the saved
+        # gridreg) -> region cotangent + vop cotangents + vreg primal
+        # (the merged kernel's G2P operand).
+        vreg, gop_vjp = jax.vjp(gridop_fn, gridreg, vop)
+        d_gridreg, d_vop = gop_vjp(d_vreg)
+
+        # 3. transposed sweeps -> compact 4-channel accumulate cotangent
+        usx = _make_unsweep_x(m, nb, 4)
+        uyz = _make_unsweep_yz_compact(m, nb, 4)
+        mk = _make_bwd_kernel_merged(m, nb, scale_p, CPAD)
+
+        def run_bwd():
+            compact = uyz(usx(d_gridreg))
+            return mk(packed, compact, vreg, c2b, npad)
+
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                out = run_bwd()
+        else:
+            out = run_bwd()
+
+        rows = out[:npad, :16]
+        if not presorted:
+            from fluidlab_tpu.ops.binning import unpack_rows
+
+            rows = unpack_rows(rows, order, valid, inv)
+        rows_t = rows.T
+        d_feats13 = rows_t[:13]
+        d_fx = rows_t[13:16]
+        return (d_fx, None, d_feats13, d_vop, None, None, None, None, None)
+
+    core = jax.custom_vjp(lambda *a: _fwd(*a)[0])
+    core.defvjp(_fwd, _bwd)
+
+    def phase(fx, base, feats13, vop, binning):
+        return core(fx, base, feats13, vop, binning.order, binning.valid,
+                    binning.inv, binning.starts, binning.block)
+
+    return phase
+
+
 # --------------------------------------------- G2P from velocity regions
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))

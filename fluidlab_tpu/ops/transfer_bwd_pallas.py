@@ -417,6 +417,162 @@ def _make_bwd_kernel_v3(m: int, nq: int, has_mass: bool,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
+    """Fused moment-backward for the whole region grid phase: ONE kernel
+    serves both transfer VJPs of a substep (see
+    ops/regions_pallas.py make_grid_phase).
+
+    The two v3 calls (P2G bwd against the compact 4-channel cotangent
+    regions at scale=dx; G2P d_fx against the 3 velocity regions at
+    scale=1) share everything per chunk except the region operand: the
+    six weight/derivative one-hot masks, the z-stencil lhs
+    [Wz | Wz*z | W'z | W'z*z], and — because d_fx is linear in the
+    contracted grid — even the final mask reductions (the two sides'
+    feats-contracted profiles FZ/FD are summed before reduction).
+    Merging halves the VPU mask-build work and removes one kernel
+    launch + packed-row prologue per substep.
+
+    Coordinates are built once in cell units (scale 1, the G2P side's
+    frame); the P2G side's world-scale factors (scale_p = dx) multiply
+    the static coordinate lattices and its z-moment contractions.
+
+    packed row layout (cols): w(9) lb(3) feats12(12) pad(cpad-12)
+    wp(9) feats13(13); out rows: [d_feats13(13) | d_fx(3)].
+    """
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+    OWP = 12 + cpad
+    OF13 = 21 + cpad
+
+    def kernel(c2b_ref, packed_ref, compact_ref, vreg_ref, out_ref):
+        i = pl.program_id(0)
+        b = c2b_ref[i]
+        bj = (b // nb) % nb
+        bk = b % nb
+        oa = ((b // (nb * nb)) * BLOCK - m).astype(jnp.float32)
+        ob = (bj * BLOCK - m).astype(jnp.float32)
+        oz = (bk * BLOCK - m).astype(jnp.float32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+        a_col = jnp.minimum(col // region, region - 1)
+        b_col = col % region
+        col_valid = (col < r2).astype(jnp.float32)
+        zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
+        z_valid = (zcol < region).astype(jnp.float32)
+        # cell-unit coordinates (the G2P side's frame; P2G scales by dx)
+        xa1 = oa + a_col.astype(jnp.float32)
+        xb1 = ob + b_col.astype(jnp.float32)
+        xz1 = oz + zcol.astype(jnp.float32)
+
+        pk = packed_ref[...]  # (CHUNK, PACKB)
+        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+        lvals = pk[:, 9:12].astype(jnp.int32)
+        f12 = pk[:, 12:24]    # [S0bar(3) | S1bar(9)]
+        dvals = (pk[:, OWP:OWP + 3], pk[:, OWP + 3:OWP + 6],
+                 pk[:, OWP + 6:OWP + 9])
+        f13 = pk[:, OF13:OF13 + 13]  # [b(3) | affine(9) | mass(1)]
+
+        def onehot(w_axis, lb, ids, valid):
+            off = ids - lb
+            out = jnp.zeros(ids.shape, jnp.float32)
+            for o in range(3):
+                out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
+            return out * valid
+
+        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+        Dz = onehot(dvals[2], lvals[:, 2:3], zcol, z_valid)
+        lhs = jnp.concatenate([Wz, Wz * xz1, Dz, Dz * xz1], axis=0)
+
+        def zc4(rgn):  # (r2, RCOLS) -> 4x (CHUNK, r2pad)
+            zc = jax.lax.dot_general(
+                lhs, rgn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
+            return (zc[0 * CHUNK:1 * CHUNK], zc[1 * CHUNK:2 * CHUNK],
+                    zc[2 * CHUNK:3 * CHUNK], zc[3 * CHUNK:4 * CHUNK])
+
+        P = [zc4(compact_ref[0, q]) for q in range(4)]
+        Gv = [zc4(vreg_ref[0, q]) for q in range(3)]
+
+        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+        Dx = onehot(dvals[0], lvals[:, 0:1], a_col, col_valid)
+        Dy = onehot(dvals[1], lvals[:, 1:2], b_col, col_valid)
+        T = Wx * Wy
+
+        # ---- P2G d_feats13 (world-scale coordinates)
+        rows = [jnp.sum(T * P[q][0], axis=1) for q in range(3)]
+        Ta = T * (xa1 * scale_p)
+        Tb = T * (xb1 * scale_p)
+        for q in range(3):
+            rows += [jnp.sum(Ta * P[q][0], axis=1),
+                     jnp.sum(Tb * P[q][0], axis=1),
+                     scale_p * jnp.sum(T * P[q][1], axis=1)]
+        rows.append(jnp.sum(T * P[3][0], axis=1))
+
+        # ---- shared d_fx: sum the two sides' feats-contracted profiles
+        def prof(Z, ZX, c0, c, scale, mass=None, Zm=None):
+            P0 = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            Pa = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            Pb = jnp.zeros((CHUNK, r2pad), jnp.float32)
+            for q in range(3):
+                P0 = P0 + c0[:, q:q + 1] * Z[q]
+                P0 = P0 + (scale * c[:, 3 * q + 2:3 * q + 3]) * ZX[q]
+                Pa = Pa + c[:, 3 * q:3 * q + 1] * Z[q]
+                Pb = Pb + c[:, 3 * q + 1:3 * q + 2] * Z[q]
+            if mass is not None:
+                P0 = P0 + mass * Zm
+            return P0 + (scale * xa1) * Pa + (scale * xb1) * Pb
+
+        FZ = prof([P[q][0] for q in range(3)], [P[q][1] for q in range(3)],
+                  f13[:, 0:3], f13[:, 3:12], scale_p,
+                  mass=f13[:, 12:13], Zm=P[3][0])
+        FZ = FZ + prof([Gv[q][0] for q in range(3)],
+                       [Gv[q][1] for q in range(3)],
+                       f12[:, 0:3], f12[:, 3:12], 1.0)
+        FD = prof([P[q][2] for q in range(3)], [P[q][3] for q in range(3)],
+                  f13[:, 0:3], f13[:, 3:12], scale_p,
+                  mass=f13[:, 12:13], Zm=P[3][2])
+        FD = FD + prof([Gv[q][2] for q in range(3)],
+                       [Gv[q][3] for q in range(3)],
+                       f12[:, 0:3], f12[:, 3:12], 1.0)
+        rows += [
+            jnp.sum(Dx * Wy * FZ, axis=1),
+            jnp.sum(Wx * Dy * FZ, axis=1),
+            jnp.sum(T * FD, axis=1),
+        ]
+
+        out = jnp.stack(rows, axis=1)  # (CHUNK, 16)
+        out_ref[...] = jnp.pad(out, ((0, 0), (0, OUTB - 16)))
+
+    def run(packed, compact, vregions, c2b, n_pad: int):
+        nch = packed.shape[0] // CHUNK
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec((CHUNK, PACKB), lambda i, c2b: (i, 0)),
+                pl.BlockSpec(
+                    (1, 4, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((CHUNK, OUTB), lambda i, c2b: (i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, OUTB), jnp.float32),
+            grid_spec=grid_spec,
+        )(c2b, packed, compact, vregions)
+
+    return run
+
+
 def transfer_bwd_fx(fx, base, feats, regions, order, valid, inv, starts,
                     block, G: int, m: int, presorted: bool,
                     interpret: bool, nq: int, has_mass: bool,

@@ -1,0 +1,110 @@
+"""Fused grid-phase custom VJP (ops/regions_pallas.py make_grid_phase)
+vs the split p2g_regions -> gridop -> g2p_regions pair.
+
+The merged path must reproduce the split path exactly: forward moments,
+and gradients wrt particle features (v, affine), fx (the derivative-
+weight marginal path), and the grid_op closure's own differentiable
+operands (vop) — the latter exercises the jax.vjp-recomputed grid_op
+adjoint inside the merged backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidlab_tpu.core.bspline import base_and_fx_soa
+from fluidlab_tpu.core.mat3 import mv_soa
+from fluidlab_tpu.ops.binning import compute_binning
+from fluidlab_tpu.ops.regions_pallas import (
+    g2p_regions,
+    make_grid_phase,
+    p2g_regions,
+)
+
+G = 32
+N = 700
+DX = 1.0 / G
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0.08, 0.92, (3, N)).astype(np.float32))
+    base, fx = base_and_fx_soa(x, float(G))
+    base = jnp.clip(base, 0, G - 3)
+    usedf = jnp.asarray((rng.uniform(size=N) > 0.2).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, N).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(3, N)).astype(np.float32))
+    affine = jnp.asarray(0.1 * rng.normal(size=(9, N)).astype(np.float32))
+    gmul = jnp.asarray(rng.uniform(0.5, 1.5, (1,)).astype(np.float32))
+    binning = compute_binning(base, G)
+    return base, fx, usedf, mass, v, affine, gmul, binning
+
+
+def _gridop(greg, vop):
+    (gm,) = vop
+    mass_r = greg[:, 3]
+    inv_mass = 1.0 / jnp.maximum(mass_r, 1e-12)
+    active = (mass_r > 1e-12).astype(greg.dtype)
+    return jnp.stack(
+        [greg[:, d] * inv_mass * active * gm[0] for d in range(3)], axis=1
+    )
+
+
+def _feats13(base, fx, usedf, mass, v, affine):
+    x_p = (base.astype(v.dtype) + fx) * DX
+    Ax = mv_soa(affine, x_p)
+    b3 = jnp.stack([mass * v[i] - Ax[i] for i in range(3)])
+    return jnp.concatenate(
+        [b3, affine, mass[None, :]], axis=0
+    ) * usedf[None, :]
+
+
+def _out_split(inputs, v, affine, fx, gm, m):
+    base, _, usedf, mass, _, _, _, binning = inputs
+    gridreg = p2g_regions(base, fx, usedf, mass, v, affine, G, DX,
+                          binning, m=m, interpret=True)
+    vreg = _gridop(gridreg, (gm,))
+    return g2p_regions(base, fx, vreg, G, float(G), binning, m=m,
+                       interpret=True)
+
+
+def _out_merged(inputs, v, affine, fx, gm, m):
+    base, _, usedf, mass, _, _, _, binning = inputs
+    phase = make_grid_phase(_gridop, G, m, False, True)
+    feats13 = _feats13(base, fx, usedf, mass, v, affine)
+    S0, S1g = phase(fx, base, feats13, (gm,), binning)
+    xg = base.astype(S0.dtype) + fx
+    new_C = (4.0 * float(G)) * jnp.stack([
+        S1g[3 * i + d] - S0[i] * xg[d] for i in range(3) for d in range(3)
+    ])
+    return S0, new_C
+
+
+@pytest.mark.parametrize("m", [0, 1])
+def test_forward_matches_split(inputs, m):
+    _, fx, _, _, v, affine, gm, _ = inputs
+    a_v, a_C = _out_split(inputs, v, affine, fx, gm, m)
+    b_v, b_C = _out_merged(inputs, v, affine, fx, gm, m)
+    np.testing.assert_allclose(np.asarray(b_v), np.asarray(a_v), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(b_C), np.asarray(a_C), atol=3e-4)
+
+
+@pytest.mark.parametrize("m", [0, 1])
+def test_gradients_match_split(inputs, m):
+    _, fx, _, _, v, affine, gm, _ = inputs
+
+    def loss(fn, v_, a_, fx_, gm_):
+        nv, nC = fn(inputs, v_, a_, fx_, gm_, m)
+        return jnp.sum(nv * 0.3) + jnp.sum(nC * 0.05)
+
+    g1 = jax.grad(lambda *z: loss(_out_split, *z), argnums=(0, 1, 2, 3))(
+        v, affine, fx, gm)
+    g2 = jax.grad(lambda *z: loss(_out_merged, *z), argnums=(0, 1, 2, 3))(
+        v, affine, fx, gm)
+    for name, a, b in zip(("v", "affine", "fx", "vop"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3,
+            err_msg=f"d_{name} mismatch (m={m})",
+        )
