@@ -716,23 +716,63 @@ def apply_action_p(cfg: SimCfg, effs: Tuple[EffectorState, ...], action_p):
     return tuple(out)
 
 
-@jax.custom_vjp
-def _sort_slots(arr, order, inv):
-    """(.., N) -> (.., NPAD): place particles into padded aligned slots
-    (dummy slots alias particle 0).  The VJP is a *gather* by the
-    id->slot map instead of XLA's scatter-add transpose (which TPU
-    lowers to a global sort); dummy-slot cotangents are identically zero
-    because dummies are never read downstream."""
+# Slot permutation strategy for the persistent-binning path.  'scatter'
+# (default): every direction is a unique-index scatter-set on the last
+# axis — column *gathers* make XLA's layout assignment pick a
+# dim-0-minor {0,1} layout for the whole scan carry, which re-tiles
+# every (C, N) pointwise op at 42x lane padding (~30 ms/substep at 65k,
+# RESULTS.md round-3 trace).  'gather' keeps the original forms.
+_SORT_MODE = _os.environ.get("FL_SORT", "scatter")
+
+
+def _scatter_cols(vals, idx, ncols: int):
+    """(.., K) -> (.., ncols) unique-index scatter-set on the last axis
+    (untouched columns zero)."""
+    out = jnp.zeros(vals.shape[:-1] + (ncols,), vals.dtype)
+    return out.at[..., idx].set(vals, unique_indices=True)
+
+
+def _sort_cols(arr, order, inv, valid):
+    """particle order -> padded slot order (non-custom-vjp form).
+    scatter mode leaves dummy slots zero; gather mode aliases them to
+    particle 0 — both are inert downstream (used=False, usedf=0)."""
+    if _SORT_MODE == "scatter":
+        return _scatter_cols(arr, inv, order.shape[0])
     return arr[..., order]
 
 
-def _sort_slots_fwd(arr, order, inv):
-    return arr[..., order], (order, inv)
+def _unsort_cols(arr, order, inv, valid):
+    """padded slot order -> particle order (non-custom-vjp form)."""
+    if _SORT_MODE == "scatter":
+        n = inv.shape[0]
+        idx = jnp.where(valid > 0.5, order, n)  # dummies -> trash col
+        return _scatter_cols(arr, idx, n + 1)[..., :n]
+    return arr[..., inv]
+
+
+@jax.custom_vjp
+def _sort_slots(arr, order, inv, valid):
+    """(.., N) -> (.., NPAD): place particles into padded aligned slots.
+    The VJP is the explicit inverse permutation instead of XLA's
+    scatter-add transpose (which TPU lowers to a global sort);
+    dummy-slot cotangents are identically zero because dummies are never
+    read downstream."""
+    return _sort_cols(arr, order, inv, valid)
+
+
+def _sort_slots_fwd(arr, order, inv, valid):
+    return _sort_cols(arr, order, inv, valid), (order, inv, valid)
 
 
 def _sort_slots_bwd(res, ct):
-    order, inv = res
-    return ct[..., inv], None, None
+    order, inv, valid = res
+    if _SORT_MODE == "scatter":
+        n = inv.shape[0]
+        idx = jnp.where(valid > 0.5, order, n)
+        d = _scatter_cols(ct, idx, n + 1)[..., :n]
+    else:
+        d = ct[..., inv]
+    return d, None, None, None
 
 
 _sort_slots.defvjp(_sort_slots_fwd, _sort_slots_bwd)
@@ -741,17 +781,21 @@ _sort_slots.defvjp(_sort_slots_fwd, _sort_slots_bwd)
 @jax.custom_vjp
 def _unsort_slots(arr, order, inv, valid):
     """(.., NPAD) -> (.., N): read particles back out of their padded
-    slots.  VJP gathers by ``order`` and masks dummy slots."""
-    return arr[..., inv]
+    slots.  VJP is the explicit forward permutation (dummy slots zero)."""
+    return _unsort_cols(arr, order, inv, valid)
 
 
 def _unsort_slots_fwd(arr, order, inv, valid):
-    return arr[..., inv], (order, inv, valid)
+    return _unsort_cols(arr, order, inv, valid), (order, inv, valid)
 
 
 def _unsort_slots_bwd(res, ct):
     order, inv, valid = res
-    return ct[..., order] * valid, None, None, None
+    if _SORT_MODE == "scatter":
+        d = _scatter_cols(ct, inv, order.shape[0])
+    else:
+        d = ct[..., order] * valid
+    return d, None, None, None
 
 
 _unsort_slots.defvjp(_unsort_slots_fwd, _unsort_slots_bwd)
@@ -795,10 +839,13 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
             r = _build_regions(sn, cfg.n_grid, nb, cfg.binning_margin)
             out.append((r[:, 0], jnp.stack([r[:, 1], r[:, 2], r[:, 3]])))
         return out
-    if persistent and cfg.binning_margin < 2:
+    if persistent and cfg.binning_margin < 1:
         raise ValueError(
-            "binning_mode='step' needs binning_margin >= 2 to absorb "
-            "within-step particle drift"
+            "binning_mode='step' needs binning_margin >= 1 to absorb "
+            "within-step particle drift (margin m tolerates sustained "
+            "speeds up to m*dx/(n_substeps*dt) — m=1 is ~7.8 m/s at "
+            "64^3/dt=2e-4; particles past the margin drop out of the "
+            "transfers for the rest of the step)"
         )
 
     from fluidlab_tpu.ops.binning import Binning, compute_binning
@@ -858,25 +905,29 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
         order, inv, valid = bn.order, bn.inv, bn.valid
 
         def sort_t(arr):
-            return _sort_slots(arr, order, inv)
+            return _sort_slots(arr, order, inv, valid)
 
         def unsort_t(arr):
             return _unsort_slots(arr, order, inv, valid)
 
+        def sort_i(arr):  # non-diff int/bool rows (zeros at dummies)
+            return _sort_cols(arr, order, inv, valid)
+
         state_s = state.replace(particles=ParticleState(
             x=sort_t(ps.x), v=sort_t(ps.v), C=sort_t(ps.C),
-            F=sort_t(ps.F), used=ps.used[order] & (valid > 0),
+            F=sort_t(ps.F), used=sort_i(ps.used) & (valid > 0),
         ))
         import dataclasses as _dc
 
         params_s = _dc.replace(
             params,
-            p_mu=params.p_mu[order], p_lam=params.p_lam[order],
-            p_mass=params.p_mass[order], p_mat=params.p_mat[order],
-            p_mat_cls=params.p_mat_cls[order], p_body=params.p_body[order],
+            p_mu=sort_i(params.p_mu), p_lam=sort_i(params.p_lam),
+            p_mass=sort_i(params.p_mass), p_mat=sort_i(params.p_mat),
+            p_mat_cls=sort_i(params.p_mat_cls),
+            p_body=sort_i(params.p_body),
         )
         bn_s = Binning(order=order, valid=valid, inv=inv,
-                       starts=bn.starts, block=bn.block[:, order])
+                       starts=bn.starts, block=sort_i(bn.block))
 
         def body(s, _):
             return substep(s, params_s, has_action, binning=bn_s,
@@ -889,7 +940,7 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
         nps = state_s.particles
         return state_s.replace(particles=ParticleState(
             x=unsort_t(nps.x), v=unsort_t(nps.v), C=unsort_t(nps.C),
-            F=unsort_t(nps.F), used=nps.used[inv],
+            F=unsort_t(nps.F), used=_unsort_cols(nps.used, order, inv, valid),
         ))
 
     def step(state: SimState, params: SceneParams, action, has_action):

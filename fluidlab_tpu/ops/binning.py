@@ -176,6 +176,27 @@ def unpack_rows(res, order, valid, inv):
     return res[inv]
 
 
+def pin_rowmajor(x):
+    """Materialize ``x`` in the default (minor-dim-last) layout.
+
+    The Pallas packs/unpacks transpose between the engine's SoA (C, N)
+    rows and the kernels' (NPAD, 128) packed layout.  Under persistent
+    binning (presorted=True) nothing sits between those transposes and
+    the substep scan carry, so XLA layout assignment makes them "free"
+    by flipping the whole carry to a dim-0-minor {0,1} layout — which
+    re-tiles every (C, N) pointwise op in the substep at 42-128x lane
+    padding (~30 ms/substep at 65k, RESULTS.md round-3 traces).  A
+    reshape round-trip through 1D across an optimization barrier forces
+    ONE materialized relayout copy here instead (1D arrays have a
+    unique layout, and the barrier stops reshape-reshape folding), so
+    the {0,1} preference cannot propagate past this point.
+    """
+    import jax
+
+    flat = jax.lax.optimization_barrier(x.reshape(-1))
+    return flat.reshape(x.shape)
+
+
 def chunk_to_block(starts, npad: int):
     """(NCH,) int32: owning block of each ALIGN-slot chunk.  Chunks past
     ``starts[-1]`` (the static-padding tail) map to the last block; their

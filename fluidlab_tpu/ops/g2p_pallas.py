@@ -197,6 +197,10 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
 
         rows = pack_rows(rows, order, inv)  # (12, NPAD); dummies unread
     rows = jnp.pad(rows, ((0, PACKG - 12), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)  # stop {0,1} carry-layout propagation
     packed = rows.T  # (NPAD, PACKG)
     c2b = chunk_to_block(starts, npad)
 
@@ -215,6 +219,10 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
 
         res = unpack_rows(res, order, valid, inv)  # particle order
     res_t = res.T  # (12, N)
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        res_t = pin_rowmajor(res_t)
     S0 = res_t[:3]
     S1loc = res_t[3:12]
     # local -> global cell coordinates: S1g[i, d] = S1loc + borig_d * S0_i

@@ -282,6 +282,10 @@ def _p2g_core_impl(w, lbase_global, feats, order, valid, inv, starts,
         # weights (scatter-packed dummies are already zero)
         rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
     rows = jnp.pad(rows, ((0, PACK - 25), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)  # stop {0,1} carry-layout propagation
     packed = rows.T  # (NPAD, PACK)
     c2b = chunk_to_block(starts, packed.shape[0])
 

@@ -690,6 +690,10 @@ def _pack13(w, lbase_global, feats, order, valid, inv, block, m, presorted):
         rows = pack_rows(rows, order, inv)
         rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
     rows = jnp.pad(rows, ((0, PACK - rows.shape[0]), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)  # stop {0,1} carry-layout propagation
     return rows.T  # (NPAD, PACK)
 
 
@@ -821,6 +825,10 @@ def _pack_bwd_merged(w, wp, lbase_global, feats12, feats13, order, valid,
         rows = pack_rows(rows, order, inv)
         rows = jnp.concatenate([rows[:3] * valid[None, :], rows[3:]], axis=0)
     rows = jnp.pad(rows, ((0, PACKB - rows.shape[0]), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)  # stop {0,1} carry-layout propagation
     return rows.T  # (NPAD, PACKB)
 
 
@@ -894,6 +902,10 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
 
             res = unpack_rows(res, order, valid, inv)
         res_t = res.T
+        if presorted:
+            from fluidlab_tpu.ops.binning import pin_rowmajor
+
+            res_t = pin_rowmajor(res_t)
         S0 = res_t[:3]
         S1loc = res_t[3:12]
         borig = (block * BLOCK - m).astype(jnp.float32)
@@ -954,6 +966,10 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
 
             rows = unpack_rows(rows, order, valid, inv)
         rows_t = rows.T
+        if presorted:
+            from fluidlab_tpu.ops.binning import pin_rowmajor
+
+            rows_t = pin_rowmajor(rows_t)
         d_feats13 = rows_t[:13]
         d_fx = rows_t[13:16]
         return (d_fx, None, d_feats13, d_vop, None, None, None, None, None)
@@ -999,6 +1015,10 @@ def _g2p_regions_impl(fx, base, vregions, order, valid, inv, starts, block,
 
         rows = pack_rows(rows, order, inv)
     rows = jnp.pad(rows, ((0, PACKG - 12), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)
     packed = rows.T
     c2b = chunk_to_block(starts, npad)
 

@@ -605,6 +605,10 @@ def transfer_bwd_fx(fx, base, feats, regions, order, valid, inv, starts,
             [rows[:3] * vz, rows[3:9], rows[9:12] * vz, rows[12:]], axis=0
         )
     rows = jnp.pad(rows, ((0, PACKB - 21 - C), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)  # stop {0,1} carry-layout propagation
     packed = rows.T  # (NPAD, PACKB)
     c2b = chunk_to_block(starts, npad)
 
@@ -621,6 +625,10 @@ def transfer_bwd_fx(fx, base, feats, regions, order, valid, inv, starts,
 
         res = unpack_rows(res, order, valid, inv)
     res_t = res.T  # (C + 3, N)
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        res_t = pin_rowmajor(res_t)
     d_feats = res_t[:C] if need_dfeats else None
     d_fx = res_t[C:C + 3]
     return d_feats, d_fx
@@ -665,6 +673,10 @@ def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
 
         rows = pack_rows(rows, order, inv)
     rows = jnp.pad(rows, ((0, PACKB - 12 - C), (0, 0)))
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        rows = pin_rowmajor(rows)
     packed = rows.T  # (NPAD, PACKB)
     c2b = chunk_to_block(starts, npad)
 
@@ -689,6 +701,10 @@ def transfer_bwd(w, base, feats, grids, order, valid, inv, starts, block,
 
         res = unpack_rows(res, order, valid, inv)
     res_t = res.T  # (C + 9, N)
+    if presorted:
+        from fluidlab_tpu.ops.binning import pin_rowmajor
+
+        res_t = pin_rowmajor(res_t)
     d_feats = res_t[:C]
     d_w = res_t[C:].reshape(3, 3, -1).transpose(1, 0, 2)  # (off, ax, N)
     return d_feats, d_w

@@ -42,6 +42,14 @@ def main():
         cfg = dataclasses.replace(cfg, p2g_impl="pallas", g2p_impl="pallas")
     elif impl == "regions":
         cfg = dataclasses.replace(cfg, p2g_impl="regions", g2p_impl="regions")
+    # FL_BINMODE=step[:margin] -> persistent once-per-step binning
+    bm = os.environ.get("FL_BINMODE")
+    if bm:
+        parts = bm.split(":")
+        cfg = dataclasses.replace(
+            cfg, binning_mode=parts[0],
+            binning_margin=int(parts[1]) if len(parts) > 1 else 2,
+        )
     step = make_step(cfg)
     ha = jnp.asarray(False)
 
