@@ -51,7 +51,8 @@ def main():
 
     cfg = dataclasses.replace(
         cfg, p2g_impl=p2g, g2p_impl=g2p, binning_mode=bmode,
-        binning_margin=2 if bmode == "step" else 0,
+        binning_margin=int(os.environ.get("BENCH_MARGIN") or 2)
+        if bmode == "step" else 0,
     )
     step = make_step(cfg)
     action = jnp.zeros((1,), jnp.float32)

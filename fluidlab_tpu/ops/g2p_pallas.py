@@ -52,25 +52,25 @@ OUTC = 128   # output row: S0(3) S1loc(9) padded
 
 @functools.lru_cache(maxsize=None)
 def _make_g2p_blocks(m: int):
+    from fluidlab_tpu.ops.masks import (
+        MASKS_MODE,
+        _consts_np,
+        make_ew,
+        mm_ew,
+    )
+
     region = _region(m)
     r2 = region * region
     r2pad = _r2pad(m)
+    use_mxu = MASKS_MODE == "mxu"
 
-    def kernel(c2b_ref, packed_ref, regions_ref, out_ref):
+    def kernel(c2b_ref, packed_ref, regions_ref, *rest):
         del c2b_ref  # used only by the index maps
+        out_ref = rest[-1]
         rvals = regions_ref[0]  # (3, r2, RCOLS)
-
-        # constant index maps
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
-        a_col = jnp.minimum(col // region, region - 1)
-        b_col = col % region
-        col_valid = (col < r2).astype(jnp.float32)
-        zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
-        z_valid = (zcol < region).astype(jnp.float32)
 
         pk = packed_ref[...]  # (CHUNK, PACKG)
         wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-        lvals = pk[:, 9:12].astype(jnp.int32)
 
         def onehot(w_axis, lb, ids, valid):
             off = ids - lb
@@ -79,15 +79,39 @@ def _make_g2p_blocks(m: int):
                 out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
             return out * valid
 
-        # z-axis weights over the padded z extent (CHUNK, RCOLS)
-        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
-        Wz_c = Wz * zcol.astype(jnp.float32)  # * local z coordinate
-        # xy weights over the (a, b) plane (CHUNK, r2pad)
-        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
-        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
-        T = Wx * Wy
-        T_a = T * a_col.astype(jnp.float32)
-        T_b = T * b_col.astype(jnp.float32)
+        if use_mxu:
+            # MXU/constant-operand mask build (ops/masks.py): one
+            # 128-lane EW compare + dot per xy axis; index lattices are
+            # constant rows of the revisited consts block.
+            cm = rest[0][...]
+            lbf = (pk[:, 9:10], pk[:, 10:11], pk[:, 11:12])
+            jcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            Wx = mm_ew(make_ew(jcol, wvals[0], lbf[0]), cm[0:128])
+            Wy = mm_ew(make_ew(jcol, wvals[1], lbf[1]), cm[128:256])
+            a_colf = cm[256:257]
+            b_colf = cm[257:258]
+            zcolf = cm[259:260, :RCOLS]
+            z_validf = cm[260:261, :RCOLS]
+            Wz = onehot(wvals[2], lbf[2], zcolf, z_validf)
+            Wz_c = Wz * zcolf
+            T = Wx * Wy
+            T_a = T * a_colf
+            T_b = T * b_colf
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+            a_col = jnp.minimum(col // region, region - 1)
+            b_col = col % region
+            col_valid = (col < r2).astype(jnp.float32)
+            zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
+            z_valid = (zcol < region).astype(jnp.float32)
+            lvals = pk[:, 9:12].astype(jnp.int32)
+            Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+            Wz_c = Wz * zcol.astype(jnp.float32)
+            Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+            Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+            T = Wx * Wy
+            T_a = T * a_col.astype(jnp.float32)
+            T_b = T * b_col.astype(jnp.float32)
 
         outs = []
         for ch in range(3):
@@ -122,22 +146,30 @@ def _make_g2p_blocks(m: int):
 
     def g2p_blocks(packed, regions, c2b, nb: int, n_pad: int):
         nch = packed.shape[0] // CHUNK
+        in_specs = [
+            pl.BlockSpec((CHUNK, PACKG), lambda i, c2b: (i, 0)),
+            pl.BlockSpec(
+                (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+            ),
+        ]
+        args = [c2b, packed, regions]
+        if use_mxu:
+            cm = jnp.asarray(_consts_np(m))
+            in_specs.append(
+                pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0))
+            )
+            args.append(cm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nch,),
-            in_specs=[
-                pl.BlockSpec((CHUNK, PACKG), lambda i, c2b: (i, 0)),
-                pl.BlockSpec(
-                    (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((CHUNK, OUTC), lambda i, c2b: (i, 0)),
         )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pad, OUTC), jnp.float32),
             grid_spec=grid_spec,
-        )(c2b, packed, regions)
+        )(*args)
 
     return g2p_blocks
 

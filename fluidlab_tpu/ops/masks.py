@@ -1,0 +1,129 @@
+"""MXU-built one-hot stencil masks for the block-binned Pallas kernels.
+
+Profiling (RESULTS.md round-2b/3) shows the transfer kernels are not
+MXU-bound: at 65k the forward pair spends ~1.9 of 3.0 ms building the
+per-chunk one-hot weight masks on the VPU — for every chunk, per axis,
+three (CHUNK, r2pad)-wide compare+select+mul passes plus the iota /
+div / mod index lattices they compare against.
+
+This module moves that work to the MXU and to *constant* operands:
+
+    Wax[p, col] = w[p, off] at off = a_col[col] - lb[p]  (0..2, else 0)
+                = sum_{j, o} (w[p, o] * [lb[p] == j]) * [a_col[col] == j + o]
+                = (EW @ M)[p, col]
+
+with EW (CHUNK, 128) built from ONE 128-lane float compare per axis
+(columns encode (o, j) as o*SEG + (j + OFF0)) and M a **compile-time
+constant** (128, r2pad) selection matrix passed to the kernel as an
+input block with a constant index map (the pipeline skips re-copies of
+a revisited block, so it is DMA'd once).  The index lattices
+(a_col, b_col, col_valid, zcol, z_valid) become constant rows of the
+same operand instead of per-chunk iota+div+mod builds.
+
+The OFF0 shift keeps the original partial-stencil semantics for
+particles whose (persistent-binning) drifted lb falls 1-2 cells outside
+the region: matching encodes lb in [-OFF0, SEG-OFF0), exactly the lb
+range for which any stencil cell still lands inside the region.
+
+Gated by FL_MASKS=mxu|vpu in the kernels (ops/g2p_pallas.py,
+ops/regions_pallas.py, ops/transfer_bwd_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import numpy as np
+
+SEG = 32    # column stride per offset o in the EW encoding (3*SEG <= 128)
+OFF0 = 2    # encoded lb value = j - OFF0 (covers edge partial stencils)
+
+MASKS_MODE = _os.environ.get("FL_MASKS", "mxu")
+
+
+@functools.lru_cache(maxsize=None)
+def _consts_np(m: int):
+    """Constant mask operand rows for region geometry ``m``:
+
+    rows 0:128    Mx[o*SEG + j, col] = [a_col[col] == (j - OFF0) + o] * valid
+    rows 128:256  My (same for b_col)
+    row 256       a_col (float, clamped as in the kernels)
+    row 257       b_col
+    row 258       col_valid
+    row 259       zcol (lanes 0:RCOLS)
+    row 260       z_valid (lanes 0:RCOLS)
+    rows 261:264  zero padding (8-row alignment)
+    """
+    from fluidlab_tpu.ops.p2g_pallas import _r2pad, _region
+
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+    out = np.zeros((264, r2pad), np.float32)
+    col = np.arange(r2pad)
+    a_col = np.minimum(col // region, region - 1)
+    b_col = col % region
+    valid = col < r2
+    for o in range(3):
+        for j in range(SEG):
+            lb = j - OFF0
+            out[o * SEG + j] = ((a_col == lb + o) & valid)
+            out[128 + o * SEG + j] = ((b_col == lb + o) & valid)
+    out[256] = a_col
+    out[257] = b_col
+    out[258] = valid
+    ncz = min(128, r2pad)
+    z = np.arange(ncz)
+    out[259, :ncz] = z
+    out[260, :ncz] = z < region
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _consts_wcols_np(m: int):
+    """(128 + CPAD, wcols) consts for the accumulate kernel:
+    rows 0:128      Mzw[o*SEG + j, wcol] = [wcol//CPAD == (j - OFF0) + o]
+    rows 128:128+CPAD  p_tile[f, wcol] = [wcol % CPAD == f]
+    (row count padded to a multiple of 8)."""
+    from fluidlab_tpu.ops.p2g_pallas import CPAD, _region
+
+    region = _region(m)
+    wcols = region * CPAD
+    rows = 128 + ((CPAD + 7) // 8) * 8
+    out = np.zeros((rows, wcols), np.float32)
+    c_wcol = np.arange(wcols) // CPAD
+    for o in range(3):
+        for j in range(SEG):
+            out[o * SEG + j] = c_wcol == (j - OFF0) + o
+    f_wcol = np.arange(wcols) % CPAD
+    for f in range(CPAD):
+        out[128 + f] = f_wcol == f
+    return out
+
+
+def make_ew(jcol, w3, lbf):
+    """EW[p, o*SEG + j] = w3[p, o] * [lbf[p] == j - OFF0].
+
+    ``jcol`` int32 (CHUNK, 128) lane iota; ``w3`` (CHUNK, 3) per-axis
+    weights; ``lbf`` (CHUNK, 1) float lower-bound cell.  ~5 VPU ops on
+    128 lanes, replacing 3 compare+select passes on r2pad lanes.
+    """
+    import jax.numpy as jnp
+
+    seg = jcol >> 5
+    jjf = (jcol & (SEG - 1)).astype(jnp.float32) - float(OFF0)
+    wsel = jnp.where(
+        seg == 0, w3[:, 0:1], jnp.where(seg == 1, w3[:, 1:2], w3[:, 2:3])
+    )
+    return jnp.where((jjf == lbf) & (seg < 3), wsel, 0.0)
+
+
+def mm_ew(ew, M):
+    """(CHUNK, 128) @ (128, cols) on the MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.lax.dot_general(
+        ew, M, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )

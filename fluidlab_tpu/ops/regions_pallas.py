@@ -129,13 +129,23 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
     per-channel (1, n_out, r2, RCOLS) blocks directly (used for the G2P
     VJP's d_vregions, which needs no neighbor merge).
     """
+    from fluidlab_tpu.ops.masks import (
+        MASKS_MODE,
+        _consts_np,
+        _consts_wcols_np,
+        make_ew,
+        mm_ew,
+    )
+
     region = _region(m)
     r2 = region * region
     r2pad = _r2pad(m)
     wcols = region * CPAD
     n_out = n_mom + (1 if has_mass else 0)
+    use_mxu = MASKS_MODE == "mxu"
 
-    def kernel(c2b_ref, packed_ref, out_ref, acc_ref):
+    def kernel(c2b_ref, packed_ref, *rest):
+        out_ref, acc_ref = rest[-2], rest[-1]
         i = pl.program_id(0)
         nch = pl.num_programs(0)
         first = jnp.where(
@@ -150,28 +160,41 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
-        a_col = jnp.minimum(col // region, region - 1)
-        b_col = col % region
-        col_valid = (col < r2).astype(jnp.float32)
-        wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wcols), 1)
-        c_wcol = wcol // CPAD
-        p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 0)
-        p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
-        p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
-
         pk = packed_ref[...]  # (CHUNK, PACK)
         wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-        lvals = pk[:, 9:12].astype(jnp.int32)
         fvals = pk[:, 12:12 + CPAD]
 
-        T = (
-            _onehot_w(wvals[0], lvals[:, 0:1], a_col)
-            * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
-            * col_valid
-        )
-        feats_tiled = _mm(fvals, p_tile)
-        W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
+        if use_mxu:
+            # MXU/constant-operand mask builds (ops/masks.py)
+            cm = rest[0][...]
+            mzw = rest[1][...]
+            jcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            T = (
+                mm_ew(make_ew(jcol, wvals[0], pk[:, 9:10]), cm[0:128])
+                * mm_ew(make_ew(jcol, wvals[1], pk[:, 10:11]), cm[128:256])
+            )
+            feats_tiled = _mm(fvals, mzw[128:128 + CPAD])
+            W2 = mm_ew(
+                make_ew(jcol, wvals[2], pk[:, 11:12]), mzw[0:128]
+            ) * feats_tiled
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+            a_col = jnp.minimum(col // region, region - 1)
+            b_col = col % region
+            col_valid = (col < r2).astype(jnp.float32)
+            wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wcols), 1)
+            c_wcol = wcol // CPAD
+            p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 0)
+            p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
+            p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
+            lvals = pk[:, 9:12].astype(jnp.int32)
+            T = (
+                _onehot_w(wvals[0], lvals[:, 0:1], a_col)
+                * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
+                * col_valid
+            )
+            feats_tiled = _mm(fvals, p_tile)
+            W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
         acc_ref[...] += jax.lax.dot_general(
             T, W2, (((0,), (0,)), ((), ())),
@@ -234,15 +257,25 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
             out_spec = pl.BlockSpec(
                 (1, r2pad, QCOLS), lambda i, c2b: (c2b[i], 0, 0)
             )
+        in_specs = [pl.BlockSpec((CHUNK, PACK), lambda i, c2b: (i, 0))]
+        args = [c2b, packed]
+        if use_mxu:
+            cm = jnp.asarray(_consts_np(m))
+            mzw = jnp.asarray(_consts_wcols_np(m))
+            in_specs += [
+                pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0)),
+                pl.BlockSpec(mzw.shape, lambda i, c2b: (0, 0)),
+            ]
+            args += [cm, mzw]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nch,),
-            in_specs=[pl.BlockSpec((CHUNK, PACK), lambda i, c2b: (i, 0))],
+            in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((r2pad, wcols), jnp.float32)],
         )
         return pl.pallas_call(kernel, out_shape=out_shape,
-                              grid_spec=grid_spec)(c2b, packed)
+                              grid_spec=grid_spec)(*args)
 
     return run
 

@@ -440,13 +440,22 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
     packed row layout (cols): w(9) lb(3) feats12(12) pad(cpad-12)
     wp(9) feats13(13); out rows: [d_feats13(13) | d_fx(3)].
     """
+    from fluidlab_tpu.ops.masks import (
+        MASKS_MODE,
+        _consts_np,
+        make_ew,
+        mm_ew,
+    )
+
     region = _region(m)
     r2 = region * region
     r2pad = _r2pad(m)
     OWP = 12 + cpad
     OF13 = 21 + cpad
+    use_mxu = MASKS_MODE == "mxu"
 
-    def kernel(c2b_ref, packed_ref, compact_ref, vreg_ref, out_ref):
+    def kernel(c2b_ref, packed_ref, compact_ref, vreg_ref, *rest):
+        out_ref = rest[-1]
         i = pl.program_id(0)
         b = c2b_ref[i]
         bj = (b // nb) % nb
@@ -455,20 +464,8 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
         ob = (bj * BLOCK - m).astype(jnp.float32)
         oz = (bk * BLOCK - m).astype(jnp.float32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
-        a_col = jnp.minimum(col // region, region - 1)
-        b_col = col % region
-        col_valid = (col < r2).astype(jnp.float32)
-        zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
-        z_valid = (zcol < region).astype(jnp.float32)
-        # cell-unit coordinates (the G2P side's frame; P2G scales by dx)
-        xa1 = oa + a_col.astype(jnp.float32)
-        xb1 = ob + b_col.astype(jnp.float32)
-        xz1 = oz + zcol.astype(jnp.float32)
-
         pk = packed_ref[...]  # (CHUNK, PACKB)
         wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-        lvals = pk[:, 9:12].astype(jnp.int32)
         f12 = pk[:, 12:24]    # [S0bar(3) | S1bar(9)]
         dvals = (pk[:, OWP:OWP + 3], pk[:, OWP + 3:OWP + 6],
                  pk[:, OWP + 6:OWP + 9])
@@ -481,8 +478,32 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
                 out = out + jnp.where(off == o, w_axis[:, o:o + 1], 0.0)
             return out * valid
 
-        Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
-        Dz = onehot(dvals[2], lvals[:, 2:3], zcol, z_valid)
+        if use_mxu:
+            cm = rest[0][...]
+            a_colf = cm[256:257]
+            b_colf = cm[257:258]
+            zcolf = cm[259:260, :RCOLS]
+            z_validf = cm[260:261, :RCOLS]
+            lbf = (pk[:, 9:10], pk[:, 10:11], pk[:, 11:12])
+            xa1 = oa + a_colf
+            xb1 = ob + b_colf
+            xz1 = oz + zcolf
+            Wz = onehot(wvals[2], lbf[2], zcolf, z_validf)
+            Dz = onehot(dvals[2], lbf[2], zcolf, z_validf)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+            a_col = jnp.minimum(col // region, region - 1)
+            b_col = col % region
+            col_valid = (col < r2).astype(jnp.float32)
+            zcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RCOLS), 1)
+            z_valid = (zcol < region).astype(jnp.float32)
+            lvals = pk[:, 9:12].astype(jnp.int32)
+            # cell-unit coordinates (G2P frame; P2G scales by dx)
+            xa1 = oa + a_col.astype(jnp.float32)
+            xb1 = ob + b_col.astype(jnp.float32)
+            xz1 = oz + zcol.astype(jnp.float32)
+            Wz = onehot(wvals[2], lvals[:, 2:3], zcol, z_valid)
+            Dz = onehot(dvals[2], lvals[:, 2:3], zcol, z_valid)
         lhs = jnp.concatenate([Wz, Wz * xz1, Dz, Dz * xz1], axis=0)
 
         def zc4(rgn):  # (r2, RCOLS) -> 4x (CHUNK, r2pad)
@@ -497,10 +518,19 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
         P = [zc4(compact_ref[0, q]) for q in range(4)]
         Gv = [zc4(vreg_ref[0, q]) for q in range(3)]
 
-        Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
-        Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
-        Dx = onehot(dvals[0], lvals[:, 0:1], a_col, col_valid)
-        Dy = onehot(dvals[1], lvals[:, 1:2], b_col, col_valid)
+        if use_mxu:
+            cm = rest[0][...]
+            jcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            Mx, My = cm[0:128], cm[128:256]
+            Wx = mm_ew(make_ew(jcol, wvals[0], lbf[0]), Mx)
+            Wy = mm_ew(make_ew(jcol, wvals[1], lbf[1]), My)
+            Dx = mm_ew(make_ew(jcol, dvals[0], lbf[0]), Mx)
+            Dy = mm_ew(make_ew(jcol, dvals[1], lbf[1]), My)
+        else:
+            Wx = onehot(wvals[0], lvals[:, 0:1], a_col, col_valid)
+            Wy = onehot(wvals[1], lvals[:, 1:2], b_col, col_valid)
+            Dx = onehot(dvals[0], lvals[:, 0:1], a_col, col_valid)
+            Dy = onehot(dvals[1], lvals[:, 1:2], b_col, col_valid)
         T = Wx * Wy
 
         # ---- P2G d_feats13 (world-scale coordinates)
@@ -550,25 +580,31 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
 
     def run(packed, compact, vregions, c2b, n_pad: int):
         nch = packed.shape[0] // CHUNK
+        in_specs = [
+            pl.BlockSpec((CHUNK, PACKB), lambda i, c2b: (i, 0)),
+            pl.BlockSpec(
+                (1, 4, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+            ),
+        ]
+        args = [c2b, packed, compact, vregions]
+        if use_mxu:
+            cm = jnp.asarray(_consts_np(m))
+            in_specs.append(pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0)))
+            args.append(cm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nch,),
-            in_specs=[
-                pl.BlockSpec((CHUNK, PACKB), lambda i, c2b: (i, 0)),
-                pl.BlockSpec(
-                    (1, 4, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((CHUNK, OUTB), lambda i, c2b: (i, 0)),
         )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pad, OUTB), jnp.float32),
             grid_spec=grid_spec,
-        )(c2b, packed, compact, vregions)
+        )(*args)
 
     return run
 

@@ -72,6 +72,7 @@ def baseline():
         {"FL_PACK": "scatter"},
         {"FL_CPAD": "13"},
         {"FL_BWD_IMPL": "v1"},
+        {"FL_MASKS": "vpu"},
         {"FL_PACK": "scatter", "FL_CPAD": "13"},
     ],
     ids=lambda e: ",".join(f"{k}={v}" for k, v in e.items()),

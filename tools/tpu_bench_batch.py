@@ -1,0 +1,131 @@
+"""Batched TPU measurement: several configs in ONE process.
+
+The axon tunnel wedges ~50% of processes at backend init, so per-config
+processes waste retries; this runs the full measurement matrix after a
+single successful init.  Each line prints as soon as measured, so a
+killed run still yields partial data (and every compiled program lands
+in the persistent cache for the retry).
+
+Configs (all regions impl, 64^3 grid, N=65536 unless FL_BATCH_N):
+  fwd/substep      bench.py official forward (exact substep binning)
+  fwd/step:m       persistent binning, margin m in FL_BATCH_MARGINS
+  grad/w0, grad/w5 fwd+bwd H=5, remat window 0 / 5
+
+Select with FL_BATCH=comma list (default: all).
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/fluidlab_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from fluidlab_tpu.engine.mpm import make_step
+    from fluidlab_tpu.engine.rollout import checkpointed_scan
+    from fluidlab_tpu.utils.bench_scenes import liquid_block_scene
+
+    N = int(os.environ.get("FL_BATCH_N", 65536))
+    margins = [int(x) for x in
+               os.environ.get("FL_BATCH_MARGINS", "1,2").split(",")]
+    which = os.environ.get("FL_BATCH", "").split(",") if \
+        os.environ.get("FL_BATCH") else None
+
+    def want(name):
+        return which is None or any(name.startswith(w) for w in which)
+
+    print(f"devices: {jax.devices()}", flush=True)
+
+    def fwd_run(tag, bmode, margin):
+        n_steps, reps = 25, 3
+        cfg, params, state = liquid_block_scene(n_particles=N, horizon=10)
+        cfg = dataclasses.replace(
+            cfg, p2g_impl="regions", g2p_impl="regions",
+            binning_mode=bmode, binning_margin=margin,
+        )
+        step = make_step(cfg)
+        action = jnp.zeros((1,), jnp.float32)
+        ha = jnp.asarray(False)
+
+        @jax.jit
+        def roll(s):
+            def body(carry, _):
+                return step(carry, params, action, ha), None
+            out, _ = jax.lax.scan(body, s, None, length=n_steps)
+            return out
+
+        t0 = time.perf_counter()
+        s1 = roll(state)
+        jax.block_until_ready(s1)
+        print(f"[{tag}] compile+first {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        s = s1
+        for _ in range(reps):
+            s = roll(s)
+        jax.block_until_ready(s)
+        dt = time.perf_counter() - t0
+        sub = n_steps * cfg.n_substeps * reps
+        print(f"[{tag}] {sub / dt:.1f} substeps/s "
+              f"({dt / sub * 1e3:.2f} ms/substep)", flush=True)
+
+    def grad_run(tag, window):
+        H = 5
+        cfg, params, state = liquid_block_scene(n_particles=N, horizon=H)
+        cfg = dataclasses.replace(cfg, p2g_impl="regions",
+                                  g2p_impl="regions")
+        step = make_step(cfg)
+        ha = jnp.asarray(False)
+
+        def loss_fn(v0, s0):
+            s0 = s0.replace(particles=s0.particles.replace(v=v0))
+
+            def body(s, a):
+                s1 = step(s, params, a, ha)
+                return s1, jnp.sum(s1.particles.v ** 2)
+            actions = jnp.zeros((H, 1), jnp.float32)
+            sH, per = checkpointed_scan(body, s0, actions, window=window)
+            return jnp.sum(per) + jnp.sum(jnp.abs(sH.particles.x))
+
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        t0 = time.perf_counter()
+        val, g = vg(state.particles.v, state)
+        jax.block_until_ready((val, g))
+        print(f"[{tag}] compile+first {time.perf_counter() - t0:.0f}s "
+              f"loss={float(val):.3f}", flush=True)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            val, g = vg(state.particles.v, state)
+        jax.block_until_ready((val, g))
+        dt = (time.perf_counter() - t0) / reps
+        per = dt / (H * cfg.n_substeps)
+        print(f"[{tag}] {per * 1e3:.2f} ms/substep fwd+bwd "
+              f"({H * cfg.n_substeps / dt:.1f} substeps/s)", flush=True)
+
+    if want("fwd/substep"):
+        fwd_run("fwd/substep", "substep", 0)
+    for m in margins:
+        if want(f"fwd/step:{m}"):
+            fwd_run(f"fwd/step:{m}", "step", m)
+    if want("grad/w0"):
+        grad_run("grad/w0", 0)
+    if want("grad/w5"):
+        grad_run("grad/w5", 5)
+    print("BATCH DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
