@@ -14,8 +14,84 @@ vs_baseline = value / 1000.
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def supervise():
+    """Run the measurement in a child process with a wedge watchdog.
+
+    The TPU tunnel on this host wedges ~50% of processes at backend
+    init (all threads in futex_wait, no output, forever).  The child
+    prints a heartbeat line to stderr once the backend is up; if that
+    does not appear within BENCH_INIT_TIMEOUT seconds the child is
+    killed and respawned (compiled programs persist in the JAX
+    compilation cache, so retries are cheap).  The child's stdout (the
+    single JSON line) is passed through verbatim.
+    """
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 4))
+    init_t = float(os.environ.get("BENCH_INIT_TIMEOUT", 420))
+    total_t = float(os.environ.get("BENCH_TOTAL_TIMEOUT", 3600))
+    env = dict(os.environ, BENCH_CHILD="1")
+    for attempt in range(attempts):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(p.stdout, selectors.EVENT_READ, "out")
+        sel.register(p.stderr, selectors.EVENT_READ, "err")
+        t0 = time.time()
+        inited = False
+        json_line = None
+        open_streams = 2
+        while open_streams:
+            budget = (init_t if not inited else total_t) - (
+                time.time() - t0
+            )
+            if budget <= 0:
+                break
+            events = sel.select(timeout=min(budget, 10.0))
+            for key, _ in events:
+                line = key.fileobj.readline()
+                if not line:
+                    sel.unregister(key.fileobj)
+                    open_streams -= 1
+                    continue
+                if key.data == "err":
+                    if "BENCH_BACKEND_UP" in line:
+                        inited = True
+                    else:
+                        sys.stderr.write(line)
+                elif line.strip().startswith("{"):
+                    json_line = line.strip()
+            if json_line:
+                break
+            if p.poll() is not None and not events:
+                break
+        if json_line:
+            try:
+                p.kill()
+            except OSError:
+                pass
+            print(json_line)
+            return 0
+        try:
+            p.kill()
+            p.wait(timeout=30)
+        except OSError:
+            pass
+        sys.stderr.write(
+            f"bench: attempt {attempt + 1}/{attempts} produced no "
+            f"result ({'init wedge' if not inited else 'timeout'}); "
+            "retrying\n"
+        )
+    sys.stderr.write("bench: all attempts failed\n")
+    return 1
 
 
 def main():
@@ -34,6 +110,9 @@ def main():
     os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    devs = jax.devices()  # first backend touch — the wedge point
+    print(f"BENCH_BACKEND_UP {devs}", file=sys.stderr, flush=True)
 
     n_particles = int(os.environ.get("BENCH_PARTICLES", 65536))
     n_steps = int(os.environ.get("BENCH_STEPS", 25))
@@ -95,4 +174,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(supervise())

@@ -10,6 +10,7 @@ Configs (all regions impl, 64^3 grid, N=65536 unless FL_BATCH_N):
   fwd/substep      bench.py official forward (exact substep binning)
   fwd/step:m       persistent binning, margin m in FL_BATCH_MARGINS
   grad/w0, grad/w5 fwd+bwd H=5, remat window 0 / 5
+  smoke            SmokeField control step (128^3, 50 Jacobi iters)
 
 Select with FL_BATCH=comma list (default: all).
 """
@@ -115,6 +116,45 @@ def main():
         print(f"[{tag}] {per * 1e3:.2f} ms/substep fwd+bwd "
               f"({H * cfg.n_substeps / dt:.1f} substeps/s)", flush=True)
 
+    def smoke_run(tag, res=128, iters=50):
+        from fluidlab_tpu.engine.config import SimCfg, SmokeCfg
+        from fluidlab_tpu.engine.scene import SceneParams
+        from fluidlab_tpu.engine.smoke import (
+            compute_free_mask,
+            init_smoke_state,
+            make_smoke_step,
+        )
+        from fluidlab_tpu.engine.types import SimState
+
+        smoke_cfg = SmokeCfg(res=res, solver_iters=iters)
+        cfg = SimCfg(n_particles=0, n_bodies=0, n_statics=0,
+                     smoke=smoke_cfg)
+        params = SceneParams(smoke_free=compute_free_mask(smoke_cfg, []))
+        state = SimState(particles=None, effectors=(),
+                         smoke=init_smoke_state(smoke_cfg),
+                         f_global=jnp.zeros((), jnp.int32))
+        step = make_smoke_step(cfg)
+        inner = 5
+
+        @jax.jit
+        def many(s):
+            for _ in range(inner):
+                s = step(s, params)
+            return s
+
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(many(state))
+        print(f"[{tag}] compile+first {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(many(state))
+            best = min(best, (time.perf_counter() - t0) / inner)
+        del out
+        print(f"[{tag}] {best * 1e3:.2f} ms/step ({1.0 / best:.1f} "
+              f"steps/s) res={res} jacobi={iters}", flush=True)
+
     if want("fwd/substep"):
         fwd_run("fwd/substep", "substep", 0)
     for m in margins:
@@ -124,6 +164,8 @@ def main():
         grad_run("grad/w0", 0)
     if want("grad/w5"):
         grad_run("grad/w5", 5)
+    if want("smoke"):
+        smoke_run("smoke")
     print("BATCH DONE", flush=True)
 
 
