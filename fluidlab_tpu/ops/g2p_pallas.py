@@ -43,6 +43,7 @@ from fluidlab_tpu.ops.binning import (
     compute_binning,
 )
 from fluidlab_tpu.ops.p2g_pallas import HALO, _p2g_core, _region, _r2pad
+from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 
 CHUNK = ALIGN  # particles per grid step == binning alignment
 PACKG = 128  # packed row: wx(3) wy(3) wz(3) lbase(3)
@@ -119,11 +120,11 @@ def _make_g2p_blocks(m: int):
             # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
             gz = jax.lax.dot_general(
                 Wz, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_dot_prec(),
             )  # (CHUNK, r2)
             gzc = jax.lax.dot_general(
                 Wz_c, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_dot_prec(),
             )
             gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
             gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))

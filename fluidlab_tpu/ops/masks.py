@@ -43,6 +43,30 @@ MASKS_MODE = _os.environ.get("FL_MASKS", "mxu")
 
 
 @functools.lru_cache(maxsize=None)
+def dot_prec():
+    """MXU pass count for the kernels' f32 dots (FL_DOT_PREC).
+
+    f32 matmuls on the MXU are emulated with bf16 passes; XLA's
+    precision knob trades passes for mantissa bits: 'default' (1 pass,
+    ~8 mantissa bits), 'high' (3 passes, ~16), 'highest' (6 passes,
+    full f32).  Unset -> None (backend default, current behavior).
+    The one-hot mask contractions select/sum <=3 terms of O(1) weights,
+    so lower precision costs ~1e-5 relative there; the accumulate
+    contractions sum 128 particle contributions and are more sensitive.
+    """
+    import jax
+
+    name = _os.environ.get("FL_DOT_PREC")
+    if not name:
+        return None
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+@functools.lru_cache(maxsize=None)
 def _consts_np(m: int):
     """Constant mask operand rows for region geometry ``m``:
 
@@ -125,5 +149,6 @@ def mm_ew(ew, M):
     import jax.numpy as jnp
 
     return jax.lax.dot_general(
-        ew, M, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ew, M, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=dot_prec(),
     )

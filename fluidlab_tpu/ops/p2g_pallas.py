@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.mat3 import mv_soa
+from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 from fluidlab_tpu.ops.binning import (
     ALIGN,
     BLOCK,
@@ -149,13 +150,13 @@ def _make_accumulate(m: int):
         # W2[p, wcol] = Wz(c(wcol)) * feats[p, f(wcol)]
         feats_tiled = jax.lax.dot_general(
             fvals, p_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_dot_prec(),
         )  # (CHUNK, wcols)
         W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
         acc_ref[...] += jax.lax.dot_general(
             T, W2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_dot_prec(),
         )  # (r2pad, wcols)
 
         @pl.when(last)

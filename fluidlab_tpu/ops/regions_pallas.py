@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.p2g_pallas import CPAD, PACK, _r2pad, _region
+from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 
 CHUNK = ALIGN
 CQ = 4       # interleaved channels per z: mom_x, mom_y, mom_z, mass
@@ -102,14 +103,16 @@ def _row_coords(region, r2pad, scale, oa, ob):
 
 def _mm(a, b):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_dot_prec(),
     )
 
 
 def _mm_t(a, b):
     """a @ b.T contracted on last dims."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_dot_prec(),
     )
 
 
@@ -198,7 +201,7 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
 
         acc_ref[...] += jax.lax.dot_general(
             T, W2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_dot_prec(),
         )
 
         @pl.when(last)

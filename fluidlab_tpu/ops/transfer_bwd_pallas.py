@@ -42,6 +42,7 @@ import os as _os
 from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.g2p_pallas import RCOLS, _build_regions
 from fluidlab_tpu.ops.p2g_pallas import _r2pad, _region
+from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 
 CHUNK = ALIGN
 PACKB = 128  # packed row: w(9) lb(3) feats(C<=16)
@@ -109,7 +110,7 @@ def _make_bwd_kernel(m: int, C: int):
             R_c = rvals[c]  # (r2, RCOLS)
             gz = jax.lax.dot_general(
                 Wz, R_c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_dot_prec(),
             )  # (CHUNK, r2)
             gz = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
             fc = fvals[:, c]
@@ -119,7 +120,7 @@ def _make_bwd_kernel(m: int, C: int):
                 dw[1 * 3 + o] += fc * jnp.sum(WxIy[o] * gz, axis=1)
                 gzo = jax.lax.dot_general(
                     Iz[o], R_c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_dot_prec(),
                 )
                 gzo = jnp.pad(gzo, ((0, 0), (0, r2pad - r2)))
                 dw[2 * 3 + o] += fc * jnp.sum(T * gzo, axis=1)
@@ -206,7 +207,7 @@ def _make_bwd_kernel_v2(m: int, C: int):
         lhs = jnp.concatenate([Wz] + Iz, axis=0)  # (4*CHUNK, RCOLS)
         ZC = jax.lax.dot_general(
             lhs, rflat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_dot_prec(),
         )  # (4*CHUNK, C*r2pad)
         GZ = ZC[0 * CHUNK:1 * CHUNK]
 
@@ -342,7 +343,7 @@ def _make_bwd_kernel_v3(m: int, nq: int, has_mass: bool,
         for q in range(nqt):
             zc = jax.lax.dot_general(
                 lhs, regions_ref[0, q], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_dot_prec(),
             )  # (4*CHUNK, r2)
             zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
             GZ.append(zc[0 * CHUNK:1 * CHUNK])
@@ -509,7 +510,7 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
         def zc4(rgn):  # (r2, RCOLS) -> 4x (CHUNK, r2pad)
             zc = jax.lax.dot_general(
                 lhs, rgn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_dot_prec(),
             )
             zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
             return (zc[0 * CHUNK:1 * CHUNK], zc[1 * CHUNK:2 * CHUNK],

@@ -1,8 +1,8 @@
-"""The transfer-kernel perf knobs (FL_PACK, FL_CPAD, FL_BWD_IMPL) must
-all preserve numerics.  Each knob is read at import time, so each
-combination runs in a subprocess computing a fwd value + gradient
-through the pallas transfer path and comparing against the in-process
-default-config result."""
+"""The transfer-kernel perf knobs (FL_PACK, FL_CPAD, FL_BWD_IMPL,
+FL_MASKS, FL_DOT_PREC) must all preserve numerics.  Each knob is read
+at import time, so each combination runs in a subprocess computing a
+fwd value + gradient through the pallas transfer path and comparing
+against the in-process default-config result."""
 
 import json
 import os
@@ -73,6 +73,7 @@ def baseline():
         {"FL_CPAD": "13"},
         {"FL_BWD_IMPL": "v1"},
         {"FL_MASKS": "vpu"},
+        {"FL_DOT_PREC": "highest"},
         {"FL_PACK": "scatter", "FL_CPAD": "13"},
     ],
     ids=lambda e: ",".join(f"{k}={v}" for k, v in e.items()),

@@ -157,6 +157,16 @@ def main():
 
     if want("fwd/substep"):
         fwd_run("fwd/substep", "substep", 0)
+    for prec in os.environ.get("FL_BATCH_DOTPREC", "").split(","):
+        # FL_DOT_PREC sweep: env is read lazily (lru_cached) at kernel
+        # trace time, so clearing the cache + retracing picks it up.
+        if prec and want(f"fwd/dot:{prec}"):
+            from fluidlab_tpu.ops.masks import dot_prec
+            os.environ["FL_DOT_PREC"] = prec
+            dot_prec.cache_clear()
+            fwd_run(f"fwd/dot:{prec}", "substep", 0)
+            del os.environ["FL_DOT_PREC"]
+            dot_prec.cache_clear()
     for m in margins:
         if want(f"fwd/step:{m}"):
             fwd_run(f"fwd/step:{m}", "step", m)

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Wedge-aware retry supervisor for TPU jobs over the axon tunnel.
+#
+# ~50% of processes wedge at backend init (all threads futex-wait, no
+# output).  This launches "$@" with output appended to $LOG, waits up to
+# $INIT_T seconds for the liveness marker ("devices:" by default) to
+# appear, kills the exact PID and retries if it doesn't, and otherwise
+# lets the job run up to $TOTAL_T seconds.
+#
+# Usage: LOG=/tmp/x.log tools/tpu_retry.sh python tools/tpu_bench_batch.py
+LOG="${LOG:-/tmp/tpu_retry.log}"
+INIT_T="${INIT_T:-420}"
+TOTAL_T="${TOTAL_T:-3600}"
+MARKER="${MARKER:-devices:}"
+TRIES="${TRIES:-8}"
+
+for attempt in $(seq 1 "$TRIES"); do
+    echo "=== attempt $attempt: $* ===" >> "$LOG"
+    "$@" >> "$LOG" 2>&1 &
+    pid=$!
+    t0=$(date +%s)
+    alive=0
+    while kill -0 "$pid" 2>/dev/null; do
+        now=$(date +%s)
+        el=$((now - t0))
+        if [ "$alive" = 0 ] && grep -q "$MARKER" "$LOG"; then
+            alive=1
+            echo "=== attempt $attempt: backend up after ${el}s ===" >> "$LOG"
+        fi
+        if [ "$alive" = 0 ] && [ "$el" -ge "$INIT_T" ]; then
+            echo "=== attempt $attempt: init wedge, killing $pid ===" >> "$LOG"
+            kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null
+            break
+        fi
+        if [ "$el" -ge "$TOTAL_T" ]; then
+            echo "=== attempt $attempt: total timeout, killing $pid ===" >> "$LOG"
+            kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null
+            exit 2
+        fi
+        sleep 10
+    done
+    wait "$pid" 2>/dev/null
+    rc=$?
+    if [ "$alive" = 1 ]; then
+        echo "=== attempt $attempt: exited rc=$rc ===" >> "$LOG"
+        exit "$rc"
+    fi
+done
+echo "=== all $TRIES attempts wedged ===" >> "$LOG"
+exit 3
