@@ -1,0 +1,9 @@
+#!/bin/bash
+# Chain: wait for the batch supervisor (log $1) to finish, then run the
+# LatteArt solve re-measure under the retry supervisor.
+BATCHLOG="${1:-/tmp/batch_r4.log}"
+while ! grep -qE "exited rc=|all .* attempts wedged|total timeout" "$BATCHLOG"; do
+    sleep 60
+done
+LOG=/tmp/latteart_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 MARKER="env:" \
+    "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_latteart_solve.py"
