@@ -7,3 +7,5 @@ while ! grep -qE "exited rc=|all .* attempts wedged|total timeout" "$BATCHLOG"; 
 done
 LOG=/tmp/latteart_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 MARKER="env:" \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_latteart_solve.py"
+LOG=/tmp/trace_grad_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
+    "$(dirname "$0")/tpu_retry.sh" python -u "$(dirname "$0")/tpu_trace_grad.py"
