@@ -123,3 +123,25 @@ class TestSmoke:
             - float(f(jnp.float32(2000.0 - eps)))
         ) / (2 * eps)
         np.testing.assert_allclose(g, fd, rtol=0.05)
+
+
+class TestTrilerpZpair:
+    """FL_TRILERP=zpair (length-2 z-slice gathers) must match the
+    8-corner gather implementation bit-exactly in the forward."""
+
+    def test_matches_corner_impl(self):
+        from fluidlab_tpu.engine.smoke import _trilerp, _trilerp_zpair
+
+        R = 16
+        rng = np.random.RandomState(3)
+        field = jnp.asarray(rng.normal(size=(4, R, R, R)), jnp.float32)
+        # interior, near-edge, and far out-of-bounds sample positions
+        p = jnp.asarray(
+            rng.uniform(-3.0, R + 3.0, size=(3, R, R, R)), jnp.float32
+        )
+        a = jax.jit(_trilerp)(field, p)
+        b = jax.jit(_trilerp_zpair)(field, p)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+        ga = jax.grad(lambda f: jnp.sum(jnp.sin(_trilerp(f, p))))(field)
+        gb = jax.grad(lambda f: jnp.sum(jnp.sin(_trilerp_zpair(f, p))))(field)
+        np.testing.assert_allclose(ga, gb, rtol=2e-5, atol=2e-5)

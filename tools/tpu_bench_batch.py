@@ -176,6 +176,12 @@ def main():
         grad_run("grad/w5", 5)
     if want("smoke"):
         smoke_run("smoke")
+    for tl in os.environ.get("FL_BATCH_TRILERP", "").split(","):
+        # FL_TRILERP is read at trace time (no cache) — set + retrace.
+        if tl and want(f"smoke/tl:{tl}"):
+            os.environ["FL_TRILERP"] = tl
+            smoke_run(f"smoke/tl:{tl}")
+            del os.environ["FL_TRILERP"]
     print("BATCH DONE", flush=True)
 
 

@@ -9,3 +9,6 @@ LOG=/tmp/latteart_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 MARKER="env:" \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_latteart_solve.py"
 LOG=/tmp/trace_grad_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
     "$(dirname "$0")/tpu_retry.sh" python -u "$(dirname "$0")/tpu_trace_grad.py"
+LOG=/tmp/smoke_tl_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
+    FL_BATCH=smoke/tl FL_BATCH_TRILERP=corner,zpair \
+    "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
