@@ -12,3 +12,6 @@ LOG=/tmp/trace_grad_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
 LOG=/tmp/smoke_tl_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
     FL_BATCH=smoke/tl FL_BATCH_TRILERP=corner,zpair \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
+LOG=/tmp/grad_dot_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
+    FL_BATCH=grad/w0 FL_DOT_PREC=default \
+    "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
