@@ -15,3 +15,5 @@ LOG=/tmp/smoke_tl_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
 LOG=/tmp/grad_dot_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
     FL_BATCH=grad/w0 FL_DOT_PREC=default \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
+LOG=/tmp/probe_gather_r4.log INIT_T=420 TOTAL_T=3600 TRIES=20 \
+    "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_probe_gather.py"
