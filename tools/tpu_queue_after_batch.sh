@@ -18,7 +18,10 @@ LOG=/tmp/grad_dot_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
 LOG=/tmp/probe_gather_r4.log INIT_T=420 TOTAL_T=3600 TRIES=20 \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_probe_gather.py"
 LOG=/tmp/dot_high_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
-    FL_BATCH=fwd/dot,grad/w0 FL_BATCH_DOTPREC=high FL_DOT_PREC=high \
+    FL_BATCH=fwd/dot FL_BATCH_DOTPREC=high \
+    "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
+LOG=/tmp/grad_dot_high_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 \
+    FL_BATCH=grad/w0 FL_DOT_PREC=high \
     "$(dirname "$0")/tpu_retry.sh" python "$(dirname "$0")/tpu_bench_batch.py"
 LOG=/tmp/check_dot_r4.log INIT_T=420 TOTAL_T=5400 TRIES=20 MARKER="ran" \
     FL_DOT_PREC=high \
