@@ -64,6 +64,39 @@ def main():
             print(f"probe take_along_axis[{name}]: UNSUPPORTED "
                   f"({type(e).__name__}: {str(e)[:200]})", flush=True)
 
+    # ---------------- probe 1b: full-grid sublane gather (the advection
+    # kernel shape: source (R^2, R) resident in VMEM, per-element row
+    # gather across 16384 sublanes) + its throughput
+    def big_sublane_kernel(x_ref, idx_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(
+            x_ref[...], idx_ref[...], axis=0
+        )[: o_ref.shape[0]]
+
+    R = 128
+    xb = jnp.asarray(rng.normal(size=(R * R, R)), jnp.float32)
+    ib = jnp.asarray(
+        rng.randint(0, R * R, size=(R * R, R)), jnp.int32
+    )
+    try:
+        f = pl.pallas_call(
+            big_sublane_kernel,
+            out_shape=jax.ShapeDtypeStruct((R * R, R), jnp.float32),
+            interpret=interpret,
+        )
+        got = jax.block_until_ready(jax.jit(f)(xb, ib))
+        want = jnp.take_along_axis(xb, ib, axis=0)
+        ok = bool(jnp.all(got == want))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            got = jax.jit(f)(xb, ib)
+        jax.block_until_ready(got)
+        dt = (time.perf_counter() - t0) / 10
+        print(f"probe big-sublane-gather (16384x128): SUPPORTED "
+              f"numerics={ok} {dt*1e3:.2f} ms per 2M gather", flush=True)
+    except Exception as e:
+        print(f"probe big-sublane-gather: UNSUPPORTED "
+              f"({type(e).__name__}: {str(e)[:200]})", flush=True)
+
     # ---------------- probe 2: XLA trilerp variants at 128^3
     from fluidlab_tpu.engine.smoke import _trilerp, _trilerp_zpair
 
