@@ -123,6 +123,11 @@ class SimCfg:
     agent: Optional[AgentCfg] = None
     smoke: Optional[SmokeCfg] = None
     has_rigid_bodies: bool = False
+    # static scene summary: every particle is MAT_LIQUID with Lame mu=0
+    # (e.g. LatteArt milk+coffee).  Lets the substep skip the 3x3 SVD at
+    # trace time: the corotated stress term is identically zero, so only
+    # J is needed — computed as det(F_tmp) — and F resets to cbrt(J) I.
+    all_inviscid_liquid: bool = False
     rand_cycle: int = 4096  # injector random-offset table length
     # 'regions' keeps the whole grid phase in block-region space (the
     # canonical (C, G^3) grid never exists, ops/regions_pallas.py) and

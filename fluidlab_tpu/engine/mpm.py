@@ -386,36 +386,56 @@ def make_substep(cfg: SimCfg):
         I9 = eye_soa(N, x.dtype)
         F_tmp = mm_soa(I9 + dt * C, F)
         F_tmp = jnp.where(used[None, :], F_tmp, I9)
-        if "nosvd" in _ablate:
-            U, V = I9, I9
-            sig = jnp.ones((3, N), x.dtype)
+        if cfg.all_inviscid_liquid:
+            # every particle is mu=0 liquid (static scene fact): the
+            # corotated term 2 mu (F-R) F^T is identically zero, so the
+            # SVD is skipped at trace time — stress needs only
+            # J = sigma0 sigma1 sigma2 = det(F_tmp) (svd3_soa keeps
+            # rotations proper, so the product is the signed det), and
+            # the liquid F-update resets to cbrt(J) I.
+            J = det_soa(F_tmp)
+            vol_term = (
+                -dt * p_vol * 4.0 * inv_dx * inv_dx
+            ) * (params.p_lam * J * (J - 1.0))
+            stress = jnp.zeros_like(F_tmp)
+            for d in (0, 4, 8):
+                stress = stress.at[d].set(vol_term)
+            affine = stress + params.p_mass[None, :] * C
+            F_next = jnp.where(
+                used[None, :], I9 * jnp.cbrt(J)[None, :], F
+            )
         else:
-            U, sig, V = svd3_soa(F_tmp)
+            if "nosvd" in _ablate:
+                U, V = I9, I9
+                sig = jnp.ones((3, N), x.dtype)
+            else:
+                U, sig, V = svd3_soa(F_tmp)
 
-        # ---- stress (corotated + volumetric, reference p2g :339-344)
-        J = sig[0] * sig[1] * sig[2]
-        R = mm_nt_soa(U, V)  # U V^T
-        stress = 2.0 * params.p_mu[None, :] * mm_nt_soa(F_tmp - R, F_tmp)
-        vol_term = params.p_lam * J * (J - 1.0)
-        for d in (0, 4, 8):
-            stress = stress.at[d].add(vol_term)
-        stress = (-dt * p_vol * 4.0 * inv_dx * inv_dx) * stress
-        affine = stress + params.p_mass[None, :] * C
+            # ---- stress (corotated + volumetric, reference p2g :339-344)
+            J = sig[0] * sig[1] * sig[2]
+            R = mm_nt_soa(U, V)  # U V^T
+            stress = 2.0 * params.p_mu[None, :] * mm_nt_soa(F_tmp - R, F_tmp)
+            vol_term = params.p_lam * J * (J - 1.0)
+            for d in (0, 4, 8):
+                stress = stress.at[d].add(vol_term)
+            stress = (-dt * p_vol * 4.0 * inv_dx * inv_dx) * stress
+            affine = stress + params.p_mass[None, :] * C
 
-        # ---- deformation-gradient update by material class (:355-378)
-        cbrtJ = jnp.cbrt(J)
-        F_liquid = I9 * cbrtJ[None, :]
-        sig_clamped = jnp.clip(sig, 1.0 - 2e-3, 1.0 + 3e-3)
-        F_plastic = diag_mm_soa(U, sig_clamped, V)
-        cls = params.p_mat_cls
-        is_liquid = (cls == M.MAT_LIQUID)[None, :]
-        is_plastic = (
-            (cls == M.MAT_PLASTO_ELASTIC) | (cls == M.MAT_PLASTO_ELASTIC_DEMO)
-        )[None, :]
-        F_new = jnp.where(
-            is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp)
-        )
-        F_next = jnp.where(used[None, :], F_new, F)
+            # ---- deformation-gradient update by material class (:355-378)
+            cbrtJ = jnp.cbrt(J)
+            F_liquid = I9 * cbrtJ[None, :]
+            sig_clamped = jnp.clip(sig, 1.0 - 2e-3, 1.0 + 3e-3)
+            F_plastic = diag_mm_soa(U, sig_clamped, V)
+            cls = params.p_mat_cls
+            is_liquid = (cls == M.MAT_LIQUID)[None, :]
+            is_plastic = (
+                (cls == M.MAT_PLASTO_ELASTIC)
+                | (cls == M.MAT_PLASTO_ELASTIC_DEMO)
+            )[None, :]
+            F_new = jnp.where(
+                is_liquid, F_liquid, jnp.where(is_plastic, F_plastic, F_tmp)
+            )
+            F_next = jnp.where(used[None, :], F_new, F)
 
         # ---- P2G (ops/p2g.py; impl from cfg.p2g_impl)
         base, fx = base_and_fx_soa(x, inv_dx)

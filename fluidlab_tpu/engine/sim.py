@@ -277,6 +277,10 @@ class FluidSim:
         has_rigid = particles is not None and bool(
             np.any(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_RIGID)
         )
+        all_inviscid = particles is not None and bool(
+            np.all(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_LIQUID)
+            and np.all(M.MU_TABLE[particles["mat"]] == 0.0)
+        )
 
         # transfer-impl selection: the Pallas block-binned kernels with
         # persistent once-per-step binning are the TPU fast path
@@ -310,6 +314,7 @@ class FluidSim:
             agent=agent_cfg,
             smoke=self.smoke_cfg,
             has_rigid_bodies=has_rigid,
+            all_inviscid_liquid=all_inviscid,
             **impl_kwargs,
         )
 

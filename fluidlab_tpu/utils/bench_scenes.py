@@ -18,7 +18,8 @@ def liquid_block_scene(n_particles=65536, horizon=10, seed=0,
     """Water block in the unit box — the LatteArt-scale physics core
     without scene assets (64^3 grid, ~64k particles, 10 substeps/step)."""
     cfg = SimCfg(n_particles=n_particles, n_bodies=1, horizon=horizon,
-                 gravity=gravity)
+                 gravity=gravity,
+                 all_inviscid_liquid=True)  # water: mu=0 liquid
     rng = np.random.default_rng(seed)
     x = rng.uniform(0.2, 0.8, size=(3, n_particles)).astype(np.float32)
     x[1] = rng.uniform(0.3, 0.7, size=n_particles)

@@ -151,3 +151,39 @@ class TestStateCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(f1.particles.x), np.asarray(f2.particles.x)
         )
+
+
+class TestInviscidLiquidSpecialization:
+    """cfg.all_inviscid_liquid=True (static scene fact: every particle
+    mu=0 liquid) skips the SVD at trace time; it must match the general
+    path to rounding over a multi-step rollout, fwd and grad."""
+
+    def test_matches_general_path(self):
+        import dataclasses
+
+        from fluidlab_tpu.engine.mpm import make_step
+        from fluidlab_tpu.utils.bench_scenes import liquid_block_scene
+
+        cfg, params, state = liquid_block_scene(n_particles=1024, horizon=5)
+        assert cfg.all_inviscid_liquid
+        cfg_ref = dataclasses.replace(cfg, all_inviscid_liquid=False)
+        act = jnp.zeros((1,), jnp.float32)
+        ha = jnp.asarray(False)
+        sf = jax.jit(lambda s: make_step(cfg)(s, params, act, ha))
+        sr = jax.jit(lambda s: make_step(cfg_ref)(s, params, act, ha))
+        a = b = state
+        for _ in range(3):
+            a, b = sf(a), sr(b)
+        np.testing.assert_allclose(a.particles.x, b.particles.x, atol=1e-6)
+        np.testing.assert_allclose(a.particles.v, b.particles.v, atol=1e-4)
+        np.testing.assert_allclose(a.particles.F, b.particles.F, atol=1e-5)
+
+        def loss(c, v0):
+            st = state.replace(particles=state.particles.replace(v=v0))
+            step = make_step(c)
+            st = step(st, params, act, ha)
+            return jnp.sum(st.particles.x[1])
+
+        gf = jax.jit(jax.grad(lambda v: loss(cfg, v)))(state.particles.v)
+        gr = jax.jit(jax.grad(lambda v: loss(cfg_ref, v)))(state.particles.v)
+        np.testing.assert_allclose(gf, gr, rtol=1e-4, atol=1e-8)

@@ -49,12 +49,12 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
 
-    def fwd_run(tag, bmode, margin):
+    def fwd_run(tag, bmode, margin, **cfg_extra):
         n_steps, reps = 25, 3
         cfg, params, state = liquid_block_scene(n_particles=N, horizon=10)
         cfg = dataclasses.replace(
             cfg, p2g_impl="regions", g2p_impl="regions",
-            binning_mode=bmode, binning_margin=margin,
+            binning_mode=bmode, binning_margin=margin, **cfg_extra,
         )
         step = make_step(cfg)
         action = jnp.zeros((1,), jnp.float32)
@@ -157,6 +157,10 @@ def main():
 
     if want("fwd/substep"):
         fwd_run("fwd/substep", "substep", 0)
+    if want("fwd/withsvd"):
+        # isolate the inviscid-liquid SVD elision (bench scene default
+        # is all_inviscid_liquid=True)
+        fwd_run("fwd/withsvd", "substep", 0, all_inviscid_liquid=False)
     for prec in os.environ.get("FL_BATCH_DOTPREC", "").split(","):
         # FL_DOT_PREC sweep: env is read lazily (lru_cached) at kernel
         # trace time, so clearing the cache + retracing picks it up.
