@@ -384,20 +384,24 @@ def make_substep(cfg: SimCfg):
 
         # ---- F_tmp = (I + dt C) F and its SVD (reference :254-264)
         I9 = eye_soa(N, x.dtype)
-        F_tmp = mm_soa(I9 + dt * C, F)
-        F_tmp = jnp.where(used[None, :], F_tmp, I9)
         if cfg.all_inviscid_liquid:
             # every particle is mu=0 liquid (static scene fact): the
             # corotated term 2 mu (F-R) F^T is identically zero, so the
             # SVD is skipped at trace time — stress needs only
             # J = sigma0 sigma1 sigma2 = det(F_tmp) (svd3_soa keeps
             # rotations proper, so the product is the signed det), and
-            # the liquid F-update resets to cbrt(J) I.
-            J = det_soa(F_tmp)
+            # the liquid F-update resets to cbrt(J) I.  Further, liquid
+            # F is always spherical (c I: initialized to I and reset to
+            # cbrt(J) I every substep), so F_tmp = c (I + dt C) never
+            # materializes: J = c^3 det(I + dt C) reads one F row and
+            # skips the 3x3 matmul (and its residual) entirely.
+            c3 = F[0] * F[0] * F[0]
+            J = c3 * det_soa(I9 + dt * C)
+            J = jnp.where(used, J, 1.0)
             vol_term = (
                 -dt * p_vol * 4.0 * inv_dx * inv_dx
             ) * (params.p_lam * J * (J - 1.0))
-            stress = jnp.zeros_like(F_tmp)
+            stress = jnp.zeros_like(C)
             for d in (0, 4, 8):
                 stress = stress.at[d].set(vol_term)
             affine = stress + params.p_mass[None, :] * C
@@ -405,6 +409,8 @@ def make_substep(cfg: SimCfg):
                 used[None, :], I9 * jnp.cbrt(J)[None, :], F
             )
         else:
+            F_tmp = mm_soa(I9 + dt * C, F)
+            F_tmp = jnp.where(used[None, :], F_tmp, I9)
             if "nosvd" in _ablate:
                 U, V = I9, I9
                 sig = jnp.ones((3, N), x.dtype)
