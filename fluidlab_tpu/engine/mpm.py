@@ -292,8 +292,17 @@ def _inject(
 # the substep
 # --------------------------------------------------------------------------
 
-def make_substep(cfg: SimCfg):
-    """Build the jittable ``substep(state, params, has_action) -> state``."""
+def make_substep(cfg: SimCfg, psum_axis=None):
+    """Build the jittable ``substep(state, params, has_action) -> state``.
+
+    ``psum_axis``: name of a mesh axis the *particle axis* is sharded
+    over (spatial domain decomposition, parallel/spatial.py).  When set,
+    the substep runs on a local particle shard and inserts the two
+    cross-device reductions MLS-MPM needs: an all-reduce of the P2G grid
+    (one ``psum`` of the (4, G^3) momentum/mass grid per substep) and of
+    the rigid-body shape-matching moment sums.  Everything else —
+    grid_op, G2P, advection, effector kinematics — is local/replicated.
+    """
     G = cfg.n_grid
     G3 = G * G * G
     dt = cfg.dt
@@ -313,6 +322,21 @@ def make_substep(cfg: SimCfg):
             "p2g_impl='regions' and g2p_impl='regions' must be set together"
             " (the grid phase never materializes the canonical grid)"
         )
+    if psum_axis is not None:
+        if use_regions:
+            raise ValueError(
+                "spatial sharding (psum_axis) needs a canonical-grid "
+                "transfer path to all-reduce — use p2g_impl/g2p_impl in "
+                "{scatter, sort, pallas, gather}, not 'regions'"
+            )
+        if agent is not None and any(
+            e.kind in ("injector", "ball_injector") and e.flux
+            for e in agent.effectors
+        ):
+            raise ValueError(
+                "spatial sharding does not support injector effectors "
+                "yet (injection targets global particle-pool slots)"
+            )
     _p2g = None if use_regions else get_p2g(cfg.p2g_impl)
     use_pallas_p2g = cfg.p2g_impl == "pallas"
     use_pallas_g2p = cfg.g2p_impl == "pallas"
@@ -518,6 +542,11 @@ def make_substep(cfg: SimCfg):
             return jnp.stack([vo[d] for d in range(3)], axis=1)
 
         if not use_regions:
+            if psum_axis is not None:
+                # spatial sharding: each device scattered only its local
+                # particles — ONE all-reduce merges the momentum/mass
+                # grid over ICI (4 * G^3 f32 = 4 MB at 64^3)
+                grid = jax.lax.psum(grid, psum_axis)
             mass_g = grid[3]
             active = mass_g > EPS
             inv_mass = 1.0 / jnp.maximum(mass_g, EPS)
@@ -621,12 +650,17 @@ def make_substep(cfg: SimCfg):
             inv_n = 1.0 / jnp.maximum(params.body_n, 1.0)
 
             def seg(vals):  # (C, N) -> (C, B)
-                return jnp.stack([
+                s = jnp.stack([
                     jax.ops.segment_sum(
                         vals[c] * rigid, params.p_body, num_segments=B
                     )
                     for c in range(vals.shape[0])
                 ])
+                if psum_axis is not None:
+                    # shape-matching moments sum over ALL of a body's
+                    # particles, which span shards
+                    s = jax.lax.psum(s, psum_axis)
+                return s
 
             com0 = seg(x) * inv_n[None, :]
             com1 = seg(x1) * inv_n[None, :]
@@ -827,10 +861,11 @@ def _unsort_slots_bwd(res, ct):
 _unsort_slots.defvjp(_unsort_slots_fwd, _unsort_slots_bwd)
 
 
-def make_step(cfg: SimCfg, smoke_step_fn=None):
+def make_step(cfg: SimCfg, smoke_step_fn=None, psum_axis=None):
     """Build ``step(state, params, action, has_action) -> state``: one
     control step = action routing + optional smoke step + n_substeps
-    (reference mpm_simulator.py:735-753).
+    (reference mpm_simulator.py:735-753).  ``psum_axis`` enables spatial
+    particle sharding (see make_substep / parallel/spatial.py).
 
     With ``cfg.binning_mode == 'step'`` the particle state is permuted
     into block-sorted order ONCE here, the substeps run presorted (the
@@ -841,7 +876,7 @@ def make_step(cfg: SimCfg, smoke_step_fn=None):
     drop out of the transfers — at margin 2 that needs a sustained
     velocity > 15 m/s at 64^3, far beyond any FluidLab task).
     """
-    substep = make_substep(cfg)
+    substep = make_substep(cfg, psum_axis=psum_axis)
     persistent = cfg.binning_mode == "step" and (
         cfg.p2g_impl in ("pallas", "regions")
         or cfg.g2p_impl in ("pallas", "regions")

@@ -82,11 +82,11 @@ def main():
         print(f"[{tag}] {sub / dt:.1f} substeps/s "
               f"({dt / sub * 1e3:.2f} ms/substep)", flush=True)
 
-    def grad_run(tag, window):
+    def grad_run(tag, window, **cfg_extra):
         H = 5
         cfg, params, state = liquid_block_scene(n_particles=N, horizon=H)
         cfg = dataclasses.replace(cfg, p2g_impl="regions",
-                                  g2p_impl="regions")
+                                  g2p_impl="regions", **cfg_extra)
         step = make_step(cfg)
         ha = jnp.asarray(False)
 
