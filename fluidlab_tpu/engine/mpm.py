@@ -419,8 +419,14 @@ def make_substep(cfg: SimCfg, psum_axis=None):
             # cbrt(J) I every substep), so F_tmp = c (I + dt C) never
             # materializes: J = c^3 det(I + dt C) reads one F row and
             # skips the 3x3 matmul (and its residual) entirely.
-            c3 = F[0] * F[0] * F[0]
-            J = c3 * det_soa(I9 + dt * C)
+            if _os.environ.get("FL_ELIDE", "sph") == "ftmp":
+                # bisection variant: keep the 3x3 F_tmp matmul (and its
+                # (9, N) residual) but skip the SVD — J via direct det.
+                F_tmp_e = mm_soa(I9 + dt * C, F)
+                J = det_soa(F_tmp_e)
+            else:
+                c3 = F[0] * F[0] * F[0]
+                J = c3 * det_soa(I9 + dt * C)
             J = jnp.where(used, J, 1.0)
             vol_term = (
                 -dt * p_vol * 4.0 * inv_dx * inv_dx

@@ -178,8 +178,35 @@ def main():
         grad_run("grad/w0", 0)
     if want("grad/w5"):
         grad_run("grad/w5", 5)
+    if want("grad/withsvd"):
+        # isolate the round-4 inviscid-liquid SVD elision in the backward
+        grad_run("grad/withsvd", 0, all_inviscid_liquid=False)
+    for ev in os.environ.get("FL_BATCH_ELIDE", "").split(","):
+        # SVD-elision variant bisection (FL_ELIDE read at trace time)
+        if ev and want(f"elide:{ev}"):
+            os.environ["FL_ELIDE"] = ev
+            fwd_run(f"fwd/elide:{ev}", "substep", 0)
+            grad_run(f"grad/elide:{ev}", 0)
+            del os.environ["FL_ELIDE"]
+    for mm in os.environ.get("FL_BATCH_MASKS", "").split(","):
+        # FL_MASKS bisection: kernels read masks.MASKS_MODE at trace time
+        # (function-local import), so swapping the module attr + fresh
+        # trace picks it up.
+        if mm and want(f"masks:{mm}"):
+            from fluidlab_tpu.ops import masks as _masks
+            prev = _masks.MASKS_MODE
+            _masks.MASKS_MODE = mm
+            fwd_run(f"fwd/masks:{mm}", "substep", 0)
+            grad_run(f"grad/masks:{mm}", 0)
+            _masks.MASKS_MODE = prev
     if want("smoke"):
         smoke_run("smoke")
+    for rs in os.environ.get("FL_BATCH_SMOKERES", "").split(","):
+        # 128^3 x 5 unrolled steps OOMs the 16G chip at compile (queue
+        # r5); smaller res isolates the trilerp variants while the
+        # memory plan is investigated.
+        if rs and want(f"smoke/res:{rs}"):
+            smoke_run(f"smoke/res:{rs}", res=int(rs))
     for tl in os.environ.get("FL_BATCH_TRILERP", "").split(","):
         # FL_TRILERP is read at trace time (no cache) — set + retrace.
         if tl and want(f"smoke/tl:{tl}"):
