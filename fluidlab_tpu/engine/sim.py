@@ -13,6 +13,7 @@ mutating device fields.
 from __future__ import annotations
 
 import copy
+import os
 from typing import Optional
 
 import jax
@@ -277,9 +278,19 @@ class FluidSim:
         has_rigid = particles is not None and bool(
             np.any(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_RIGID)
         )
-        all_inviscid = particles is not None and bool(
-            np.all(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_LIQUID)
-            and np.all(M.MU_TABLE[particles["mat"]] == 0.0)
+        # SVD elision for all-inviscid-liquid scenes: ~4% forward win on
+        # TPU, but the fwd+bwd program is 1.4x SLOWER without the SVD
+        # custom_vjp in the graph (measured: 21.0 -> 30.1 ms/substep @65k,
+        # RESULTS.md round-5) — FluidSim drives the differentiable solver,
+        # so the elision is opt-in here (FL_SVD_ELIDE=1 for forward-only
+        # use); bench scenes keep it on for the forward headline.
+        all_inviscid = (
+            os.environ.get("FL_SVD_ELIDE", "0") == "1"
+            and particles is not None
+            and bool(
+                np.all(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_LIQUID)
+                and np.all(M.MU_TABLE[particles["mat"]] == 0.0)
+            )
         )
 
         # transfer-impl selection: the Pallas block-binned kernels with
