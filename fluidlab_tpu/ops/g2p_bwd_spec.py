@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
 from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 from fluidlab_tpu.ops.binning import (
     ALIGN,
@@ -92,10 +93,7 @@ def _make_kernel(m: int, nb: int):
         lhs = jnp.concatenate(
             [Wz, Wz * z_f] + Iz + [izo * z_f for izo in Iz], axis=0
         )  # (8*CHUNK, RCOLS)
-        ZC = jax.lax.dot_general(
-            lhs, rflat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_dot_prec(),
-        )  # (8*CHUNK, 3*r2pad)
+        ZC = _acc_dot(lhs, rflat, (((1,), (1,)), ((), ())))  # (8*CHUNK, 3*r2pad)
 
         def ch(row, i):
             return ZC[row * CHUNK:(row + 1) * CHUNK,

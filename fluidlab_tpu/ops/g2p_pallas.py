@@ -118,14 +118,10 @@ def _make_g2p_blocks(m: int):
         for ch in range(3):
             R_ch = rvals[ch]  # (r2, RCOLS)
             # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
-            gz = jax.lax.dot_general(
-                Wz, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_dot_prec(),
-            )  # (CHUNK, r2)
-            gzc = jax.lax.dot_general(
-                Wz_c, R_ch, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_dot_prec(),
-            )
+            from fluidlab_tpu.ops.masks import acc_dot
+
+            gz = acc_dot(Wz, R_ch, (((1,), (1,)), ((), ())))  # (CHUNK, r2)
+            gzc = acc_dot(Wz_c, R_ch, (((1,), (1,)), ((), ())))
             gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
             gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))
             s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)

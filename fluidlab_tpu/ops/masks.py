@@ -143,12 +143,98 @@ def make_ew(jcol, w3, lbf):
     return jnp.where((jjf == lbf) & (seg < 3), wsel, 0.0)
 
 
-def mm_ew(ew, M):
-    """(CHUNK, 128) @ (128, cols) on the MXU."""
+@functools.lru_cache(maxsize=None)
+def mask_dot_prec():
+    """Precision for the mask contractions alone (FL_MASK_DOT_PREC),
+    falling back to FL_DOT_PREC.  The EW @ M products select/sum <= 3
+    O(1) B-spline weights against a 0/1 constant matrix, so their only
+    1-pass error is the bf16 rounding of the weights themselves —
+    bounded and independent of the 128-deep particle accumulation that
+    makes the *accumulate* dots precision-sensitive.  Mosaic supports
+    only DEFAULT (1 bf16 pass) and HIGHEST (6 passes); r6 measured the
+    6-pass default at 2.11x the whole forward substep, so this knob
+    exists to claim the MXU-pass win where it is numerically safe.
+    """
+    import jax
+
+    name = _os.environ.get("FL_MASK_DOT_PREC")
+    if not name:
+        return dot_prec()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+@functools.lru_cache(maxsize=None)
+def acc_dot_mode():
+    """FL_ACC_DOT: precision strategy for the *accumulate* contractions
+    (the 128-deep particle sums — the numerically sensitive dots).
+
+    ''   (default) -> lax precision from FL_DOT_PREC (unset = full f32,
+                      6 MXU passes on Mosaic);
+    '3x' -> manual bf16x2: operands split hi+lo bf16, three 1-pass dots
+            (hi*hi + hi*lo + lo*hi) — the classic bf16_3x emulation of
+            Precision.HIGH, which Mosaic rejects as a lax precision but
+            happily runs as explicit bf16 matmuls (~half the pass count
+            of full f32 at ~2^-21 relative error);
+    '1x' -> single bf16 pass (fast-math; r6 measured ~3e-4 relative
+            velocity error at 65k — fine for optimization, not parity).
+    """
+    return _os.environ.get("FL_ACC_DOT", "")
+
+
+def acc_dot(lhs, rhs, dimension_numbers):
+    """Accumulate-class dot_general with the FL_ACC_DOT strategy."""
     import jax
     import jax.numpy as jnp
 
+    mode = acc_dot_mode()
+    if mode == "3x":
+        lh = lhs.astype(jnp.bfloat16)
+        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rh = rhs.astype(jnp.bfloat16)
+        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers,
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(lh, rh) + d(lh, rl) + d(ll, rh)
+    prec = jax.lax.Precision.DEFAULT if mode == "1x" else dot_prec()
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def mm_ew(ew, M):
+    """(CHUNK, 128) @ (128, cols) on the MXU.
+
+    FL_MASK_DOT_PREC='3x': manual bf16x2 — and because ``M`` is a 0/1
+    (or small-integer-and-valid-flag) constant that is EXACT in bf16,
+    the lo(M) term vanishes, so full f32-grade precision costs only TWO
+    1-pass dots here (vs 6 for lax full-f32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if _os.environ.get("FL_MASK_DOT_PREC") == "3x":
+        dn = (((1,), (0,)), ((), ()))
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32
+            )
+
+        eh = ew.astype(jnp.bfloat16)
+        el = (ew - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Mh = M.astype(jnp.bfloat16)
+        return d(eh, Mh) + d(el, Mh)
     return jax.lax.dot_general(
         ew, M, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=dot_prec(),
+        preferred_element_type=jnp.float32, precision=mask_dot_prec(),
     )

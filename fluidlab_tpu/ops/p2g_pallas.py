@@ -148,15 +148,15 @@ def _make_accumulate(m: int):
             * col_valid
         )
         # W2[p, wcol] = Wz(c(wcol)) * feats[p, f(wcol)]
-        feats_tiled = jax.lax.dot_general(
-            fvals, p_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_dot_prec(),
+        from fluidlab_tpu.ops.masks import acc_dot
+
+        feats_tiled = acc_dot(
+            fvals, p_tile, (((1,), (0,)), ((), ()))
         )  # (CHUNK, wcols)
         W2 = onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        acc_ref[...] += jax.lax.dot_general(
-            T, W2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_dot_prec(),
+        acc_ref[...] += acc_dot(
+            T, W2, (((0,), (0,)), ((), ()))
         )  # (r2pad, wcols)
 
         @pl.when(last)

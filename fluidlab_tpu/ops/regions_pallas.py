@@ -102,18 +102,16 @@ def _row_coords(region, r2pad, scale, oa, ob):
 
 
 def _mm(a, b):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_dot_prec(),
-    )
+    from fluidlab_tpu.ops.masks import acc_dot
+
+    return acc_dot(a, b, (((1,), (0,)), ((), ())))
 
 
 def _mm_t(a, b):
     """a @ b.T contracted on last dims."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_dot_prec(),
-    )
+    from fluidlab_tpu.ops.masks import acc_dot
+
+    return acc_dot(a, b, (((1,), (1,)), ((), ())))
 
 
 # -------------------------------------------------- accumulate (+ combine)
@@ -199,10 +197,9 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
             feats_tiled = _mm(fvals, p_tile)
             W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        acc_ref[...] += jax.lax.dot_general(
-            T, W2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_dot_prec(),
-        )
+        from fluidlab_tpu.ops.masks import acc_dot
+
+        acc_ref[...] += acc_dot(T, W2, (((0,), (0,)), ((), ())))
 
         @pl.when(last)
         def _():

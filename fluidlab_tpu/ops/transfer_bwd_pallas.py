@@ -42,6 +42,7 @@ import os as _os
 from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.g2p_pallas import RCOLS, _build_regions
 from fluidlab_tpu.ops.p2g_pallas import _r2pad, _region
+from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
 from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 
 CHUNK = ALIGN
@@ -108,20 +109,14 @@ def _make_bwd_kernel(m: int, C: int):
         dw = [jnp.zeros((CHUNK,), jnp.float32) for _ in range(9)]
         for c in range(C):
             R_c = rvals[c]  # (r2, RCOLS)
-            gz = jax.lax.dot_general(
-                Wz, R_c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_dot_prec(),
-            )  # (CHUNK, r2)
+            gz = _acc_dot(Wz, R_c, (((1,), (1,)), ((), ())))  # (CHUNK, r2)
             gz = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
             fc = fvals[:, c]
             d_feats.append(jnp.sum(T * gz, axis=1))
             for o in range(3):
                 dw[0 * 3 + o] += fc * jnp.sum(IxWy[o] * gz, axis=1)
                 dw[1 * 3 + o] += fc * jnp.sum(WxIy[o] * gz, axis=1)
-                gzo = jax.lax.dot_general(
-                    Iz[o], R_c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_dot_prec(),
-                )
+                gzo = _acc_dot(Iz[o], R_c, (((1,), (1,)), ((), ())))
                 gzo = jnp.pad(gzo, ((0, 0), (0, r2pad - r2)))
                 dw[2 * 3 + o] += fc * jnp.sum(T * gzo, axis=1)
 
@@ -205,10 +200,7 @@ def _make_bwd_kernel_v2(m: int, C: int):
 
         # one stacked contraction over z for all channels
         lhs = jnp.concatenate([Wz] + Iz, axis=0)  # (4*CHUNK, RCOLS)
-        ZC = jax.lax.dot_general(
-            lhs, rflat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_dot_prec(),
-        )  # (4*CHUNK, C*r2pad)
+        ZC = _acc_dot(lhs, rflat, (((1,), (1,)), ((), ())))  # (4*CHUNK, C*r2pad)
         GZ = ZC[0 * CHUNK:1 * CHUNK]
 
         # d_feats[c] = sum_ab T * GZ_c; GZf = sum_c f_c GZ_c
@@ -341,10 +333,7 @@ def _make_bwd_kernel_v3(m: int, nq: int, has_mass: bool,
 
         GZ, GZX, DZ, DZX = [], [], [], []
         for q in range(nqt):
-            zc = jax.lax.dot_general(
-                lhs, regions_ref[0, q], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_dot_prec(),
-            )  # (4*CHUNK, r2)
+            zc = _acc_dot(lhs, regions_ref[0, q], (((1,), (1,)), ((), ())))  # (4*CHUNK, r2)
             zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
             GZ.append(zc[0 * CHUNK:1 * CHUNK])
             GZX.append(zc[1 * CHUNK:2 * CHUNK])
@@ -508,10 +497,7 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
         lhs = jnp.concatenate([Wz, Wz * xz1, Dz, Dz * xz1], axis=0)
 
         def zc4(rgn):  # (r2, RCOLS) -> 4x (CHUNK, r2pad)
-            zc = jax.lax.dot_general(
-                lhs, rgn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_dot_prec(),
-            )
+            zc = _acc_dot(lhs, rgn, (((1,), (1,)), ((), ())))
             zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
             return (zc[0 * CHUNK:1 * CHUNK], zc[1 * CHUNK:2 * CHUNK],
                     zc[2 * CHUNK:3 * CHUNK], zc[3 * CHUNK:4 * CHUNK])

@@ -181,6 +181,17 @@ def main():
     if want("grad/withsvd"):
         # isolate the round-4 inviscid-liquid SVD elision in the backward
         grad_run("grad/withsvd", 0, all_inviscid_liquid=False)
+    for prec in os.environ.get("FL_BATCH_MASKDOT", "").split(","):
+        # split precision: mask contractions at `prec`, accumulate dots
+        # at the process-level FL_DOT_PREC (unset = full f32)
+        if prec and want(f"maskdot:{prec}"):
+            from fluidlab_tpu.ops.masks import mask_dot_prec
+            os.environ["FL_MASK_DOT_PREC"] = prec
+            mask_dot_prec.cache_clear()
+            fwd_run(f"fwd/maskdot:{prec}", "substep", 0)
+            grad_run(f"grad/maskdot:{prec}", 0, all_inviscid_liquid=False)
+            del os.environ["FL_MASK_DOT_PREC"]
+            mask_dot_prec.cache_clear()
     for ev in os.environ.get("FL_BATCH_ELIDE", "").split(","):
         # SVD-elision variant bisection (FL_ELIDE read at trace time)
         if ev and want(f"elide:{ev}"):
