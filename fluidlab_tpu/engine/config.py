@@ -128,6 +128,11 @@ class SimCfg:
     # trace time: the corotated stress term is identically zero, so only
     # J is needed — computed as det(F_tmp) — and F resets to cbrt(J) I.
     all_inviscid_liquid: bool = False
+    # elision bisection variant (engine/mpm.py): 'sph' = spherical-F
+    # shortcut (J = c^3 det(I + dt C), no F_tmp matmul); 'ftmp' = keep
+    # the F_tmp matmul, skip only the SVD.  A SimCfg field (not an env
+    # read) so jit retraces when it changes (see ADVICE r1).
+    elide_variant: str = "sph"
     rand_cycle: int = 4096  # injector random-offset table length
     # 'regions' keeps the whole grid phase in block-region space (the
     # canonical (C, G^3) grid never exists, ops/regions_pallas.py) and

@@ -419,7 +419,7 @@ def make_substep(cfg: SimCfg, psum_axis=None):
             # cbrt(J) I every substep), so F_tmp = c (I + dt C) never
             # materializes: J = c^3 det(I + dt C) reads one F row and
             # skips the 3x3 matmul (and its residual) entirely.
-            if _os.environ.get("FL_ELIDE", "sph") == "ftmp":
+            if cfg.elide_variant == "ftmp":
                 # bisection variant: keep the 3x3 F_tmp matmul (and its
                 # (9, N) residual) but skip the SVD — J via direct det.
                 F_tmp_e = mm_soa(I9 + dt * C, F)

@@ -26,7 +26,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
-from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 from fluidlab_tpu.ops.binning import (
     ALIGN,
     BLOCK,

@@ -43,7 +43,7 @@ from fluidlab_tpu.ops.binning import (
     compute_binning,
 )
 from fluidlab_tpu.ops.p2g_pallas import HALO, _p2g_core, _region, _r2pad
-from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
+from fluidlab_tpu.ops.masks import use_mxu as _use_mxu
 
 CHUNK = ALIGN  # particles per grid step == binning alignment
 PACKG = 128  # packed row: wx(3) wy(3) wz(3) lbase(3)
@@ -52,9 +52,8 @@ OUTC = 128   # output row: S0(3) S1loc(9) padded
 
 
 @functools.lru_cache(maxsize=None)
-def _make_g2p_blocks(m: int):
+def _make_g2p_blocks(m: int, use_mxu: bool):
     from fluidlab_tpu.ops.masks import (
-        MASKS_MODE,
         _consts_np,
         make_ew,
         mm_ew,
@@ -63,7 +62,6 @@ def _make_g2p_blocks(m: int):
     region = _region(m)
     r2 = region * region
     r2pad = _r2pad(m)
-    use_mxu = MASKS_MODE == "mxu"
 
     def kernel(c2b_ref, packed_ref, regions_ref, *rest):
         del c2b_ref  # used only by the index maps
@@ -235,7 +233,7 @@ def _g2p_core_impl(w, base, v_out, order, valid, inv, starts, block,
 
     regions = _build_regions(v_out, G, nb, m)
 
-    fn = _make_g2p_blocks(m)
+    fn = _make_g2p_blocks(m, _use_mxu())
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             out = fn(packed, regions, c2b, nb, npad)

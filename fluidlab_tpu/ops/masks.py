@@ -42,6 +42,17 @@ OFF0 = 2    # encoded lb value = j - OFF0 (covers edge partial stencils)
 MASKS_MODE = _os.environ.get("FL_MASKS", "mxu")
 
 
+def use_mxu() -> bool:
+    """Current masks mode, read at CALL time (not baked at import).
+
+    Kernel builders take this as an explicit argument so their
+    lru_cache keys include the mode — swapping ``masks.MASKS_MODE``
+    mid-process (tools/tpu_bench_batch.py FL_BATCH_MASKS sweep) then
+    builds fresh kernels instead of silently reusing stale ones.
+    """
+    return MASKS_MODE == "mxu"
+
+
 @functools.lru_cache(maxsize=None)
 def dot_prec():
     """MXU pass count for the kernels' f32 dots (FL_DOT_PREC).
@@ -59,9 +70,14 @@ def dot_prec():
     name = _os.environ.get("FL_DOT_PREC")
     if not name:
         return None
+    if name == "high":
+        raise ValueError(
+            "FL_DOT_PREC=high: Mosaic only lowers DEFAULT/HIGHEST for "
+            "in-kernel dots (RESULTS.md r5) — use FL_ACC_DOT=3x for the "
+            "3-pass middle ground, or FL_DOT_PREC=default|highest."
+        )
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
 
@@ -154,15 +170,26 @@ def mask_dot_prec():
     only DEFAULT (1 bf16 pass) and HIGHEST (6 passes); r6 measured the
     6-pass default at 2.11x the whole forward substep, so this knob
     exists to claim the MXU-pass win where it is numerically safe.
+
+    Returns the string ``"3x"`` for the manual bf16x2 mode (mm_ew
+    branches on it — Mosaic can't express it as a lax precision), else
+    a ``jax.lax.Precision`` or None (backend default).
     """
     import jax
 
     name = _os.environ.get("FL_MASK_DOT_PREC")
     if not name:
         return dot_prec()
+    if name == "3x":
+        return "3x"
+    if name == "high":
+        raise ValueError(
+            "FL_MASK_DOT_PREC=high: Mosaic only lowers DEFAULT/HIGHEST "
+            "for in-kernel dots — use '3x' (two 1-pass dots, exact M) "
+            "or default|highest."
+        )
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
 
@@ -192,15 +219,20 @@ def acc_dot(lhs, rhs, dimension_numbers):
 
     mode = acc_dot_mode()
     if mode == "3x":
-        lh = lhs.astype(jnp.bfloat16)
-        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
-        rh = rhs.astype(jnp.bfloat16)
-        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # Mosaic rejects bf16 operands with an f32 accumulator ("Bad
+        # lhs type"), so the bf16x2 split stays in f32: operands are
+        # bf16-ROUNDED f32 values and each 1-pass (DEFAULT) dot's
+        # internal bf16 rounding is then exact.
+        lh = lhs.astype(jnp.bfloat16).astype(jnp.float32)
+        ll = lhs - lh
+        rh = rhs.astype(jnp.bfloat16).astype(jnp.float32)
+        rl = rhs - rh
 
         def d(a, b):
             return jax.lax.dot_general(
                 a, b, dimension_numbers,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         return d(lh, rh) + d(lh, rl) + d(ll, rh)
@@ -222,19 +254,23 @@ def mm_ew(ew, M):
     import jax
     import jax.numpy as jnp
 
-    if _os.environ.get("FL_MASK_DOT_PREC") == "3x":
+    prec = mask_dot_prec()
+    if prec == "3x":
+        # same f32-operand bf16x2 form as acc_dot (Mosaic rejects bf16
+        # operands); M is 0/1-exact in bf16, so lo(M) vanishes and two
+        # 1-pass dots give full f32-grade precision.
         dn = (((1,), (0,)), ((), ()))
 
         def d(a, b):
             return jax.lax.dot_general(
-                a, b, dn, preferred_element_type=jnp.float32
+                a, b, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
-        eh = ew.astype(jnp.bfloat16)
-        el = (ew - eh.astype(jnp.float32)).astype(jnp.bfloat16)
-        Mh = M.astype(jnp.bfloat16)
-        return d(eh, Mh) + d(el, Mh)
+        eh = ew.astype(jnp.bfloat16).astype(jnp.float32)
+        el = ew - eh
+        return d(eh, M) + d(el, M)
     return jax.lax.dot_general(
         ew, M, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=mask_dot_prec(),
+        preferred_element_type=jnp.float32, precision=prec,
     )

@@ -44,7 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.core.mat3 import mv_soa
-from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 from fluidlab_tpu.ops.binning import (
     ALIGN,
     BLOCK,

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.p2g_pallas import CPAD, PACK, _r2pad, _region
-from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
+from fluidlab_tpu.ops.masks import use_mxu as _use_mxu
 
 CHUNK = ALIGN
 CQ = 4       # interleaved channels per z: mom_x, mom_y, mom_z, mass
@@ -118,7 +118,8 @@ def _mm_t(a, b):
 
 @functools.lru_cache(maxsize=None)
 def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
-                             scale: float, select_out: bool):
+                             scale: float, select_out: bool,
+                             use_mxu: bool):
     """Chunk-grid P2G accumulate kernel (ops/p2g_pallas.py structure)
     whose epilogue applies the per-cell affine combine:
 
@@ -131,7 +132,6 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
     VJP's d_vregions, which needs no neighbor merge).
     """
     from fluidlab_tpu.ops.masks import (
-        MASKS_MODE,
         _consts_np,
         _consts_wcols_np,
         make_ew,
@@ -143,7 +143,6 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
     r2pad = _r2pad(m)
     wcols = region * CPAD
     n_out = n_mom + (1 if has_mass else 0)
-    use_mxu = MASKS_MODE == "mxu"
 
     def kernel(c2b_ref, packed_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
@@ -759,7 +758,8 @@ def _p2g_regions_impl(fx, lbase_global, feats, order, valid, inv, starts,
                      presorted)
     c2b = chunk_to_block(starts, packed.shape[0])
 
-    acc_fn = _make_accumulate_regions(m, nb, 3, True, scale, False)
+    acc_fn = _make_accumulate_regions(m, nb, 3, True, scale, False,
+                                      _use_mxu())
     syz = _make_sweep_yz(m, nb)
     sxs = _make_sweep_x_select(m, nb, 4)
 
@@ -907,7 +907,8 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         N = fx.shape[-1]
         npad = packed.shape[0]
 
-        acc_fn = _make_accumulate_regions(m, nb, 3, True, scale_p, False)
+        acc_fn = _make_accumulate_regions(m, nb, 3, True, scale_p, False,
+                                          _use_mxu())
         syz = _make_sweep_yz(m, nb)
         sxs = _make_sweep_x_select(m, nb, 4)
 
@@ -922,7 +923,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
 
         vreg = gridop_fn(gridreg, vop)
 
-        g2p_fn = _make_g2p_blocks(m)
+        g2p_fn = _make_g2p_blocks(m, _use_mxu())
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 out = g2p_fn(packed, vreg, c2b, nb, npad)
@@ -965,7 +966,8 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
                                   valid, inv, block, m, presorted)
         c2b = chunk_to_block(starts, packed.shape[0])
         npad = packed.shape[0]
-        acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True)
+        acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
+                                          _use_mxu())
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 d_vreg = acc_fn(packed, c2b)
@@ -981,7 +983,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         # 3. transposed sweeps -> compact 4-channel accumulate cotangent
         usx = _make_unsweep_x(m, nb, 4)
         uyz = _make_unsweep_yz_compact(m, nb, 4)
-        mk = _make_bwd_kernel_merged(m, nb, scale_p, CPAD)
+        mk = _make_bwd_kernel_merged(m, nb, scale_p, CPAD, _use_mxu())
 
         def run_bwd():
             compact = uyz(usx(d_gridreg))
@@ -1055,7 +1057,7 @@ def _g2p_regions_impl(fx, base, vregions, order, valid, inv, starts, block,
     packed = rows.T
     c2b = chunk_to_block(starts, npad)
 
-    fn = _make_g2p_blocks(m)
+    fn = _make_g2p_blocks(m, _use_mxu())
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             out = fn(packed, vregions, c2b, nb, npad)
@@ -1109,7 +1111,8 @@ def _g2p_regions_bwd(G, m, presorted, interpret, res, cots):
     packed = _pack13(w, base, feats13, order, valid, inv, block, m,
                      presorted)
     c2b = chunk_to_block(starts, packed.shape[0])
-    acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True)
+    acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
+                                          _use_mxu())
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             d_vreg = acc_fn(packed, c2b)

@@ -43,7 +43,6 @@ from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.g2p_pallas import RCOLS, _build_regions
 from fluidlab_tpu.ops.p2g_pallas import _r2pad, _region
 from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
-from fluidlab_tpu.ops.masks import dot_prec as _dot_prec
 
 CHUNK = ALIGN
 PACKB = 128  # packed row: w(9) lb(3) feats(C<=16)
@@ -408,7 +407,8 @@ def _make_bwd_kernel_v3(m: int, nq: int, has_mass: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
+def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int,
+                            use_mxu: bool):
     """Fused moment-backward for the whole region grid phase: ONE kernel
     serves both transfer VJPs of a substep (see
     ops/regions_pallas.py make_grid_phase).
@@ -431,7 +431,6 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
     wp(9) feats13(13); out rows: [d_feats13(13) | d_fx(3)].
     """
     from fluidlab_tpu.ops.masks import (
-        MASKS_MODE,
         _consts_np,
         make_ew,
         mm_ew,
@@ -442,7 +441,6 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int):
     r2pad = _r2pad(m)
     OWP = 12 + cpad
     OF13 = 21 + cpad
-    use_mxu = MASKS_MODE == "mxu"
 
     def kernel(c2b_ref, packed_ref, compact_ref, vreg_ref, *rest):
         out_ref = rest[-1]

@@ -60,15 +60,43 @@ def make_space_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def particle_specs(tree, n_particles: int, axis: str = "space"):
-    """PartitionSpec tree: leaves whose minor axis is the particle axis
-    are sharded over ``axis``; everything else is replicated."""
+    """PartitionSpec tree: particle-axis leaves sharded over ``axis``,
+    everything else replicated.
 
-    def spec(a):
-        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[-1] == n_particles:
+    Particle leaves are matched by *pytree path*, not just trailing
+    dimension: fields of a ``particles`` subtree (ParticleState) and
+    ``p_*`` SceneParams fields.  A leaf outside those whose trailing dim
+    coincidentally equals ``n_particles`` (e.g. a G^3 grid at G^3 == N)
+    raises instead of being silently sharded wrong.
+    """
+
+    def is_particle_path(path) -> bool:
+        names = [
+            getattr(k, "name", getattr(k, "key", None)) for k in path
+        ]
+        return any(
+            n == "particles" or (isinstance(n, str) and n.startswith("p_"))
+            for n in names
+        )
+
+    def spec(path, a):
+        trailing_n = (
+            hasattr(a, "ndim") and a.ndim >= 1
+            and a.shape[-1] == n_particles
+        )
+        if is_particle_path(path):
+            if not trailing_n:
+                return P()  # e.g. scalar/per-body field inside the subtree
             return P(*([None] * (a.ndim - 1) + [axis]))
+        if trailing_n:
+            raise ValueError(
+                f"ambiguous leaf at {jax.tree_util.keystr(path)}: trailing "
+                f"dim equals n_particles={n_particles} but the path is not "
+                f"a known particle field — extend particle_specs() for it"
+            )
         return P()
 
-    return jax.tree_util.tree_map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def _check_divisible(cfg, mesh, axis):

@@ -75,6 +75,8 @@ def baseline():
         {"FL_MASKS": "vpu"},
         {"FL_DOT_PREC": "highest"},
         {"FL_PACK": "scatter", "FL_CPAD": "13"},
+        {"FL_ACC_DOT": "3x", "FL_MASK_DOT_PREC": "3x"},
+        {"FL_ACC_DOT": "1x"},
     ],
     ids=lambda e: ",".join(f"{k}={v}" for k, v in e.items()),
 )

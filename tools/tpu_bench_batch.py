@@ -193,16 +193,14 @@ def main():
             del os.environ["FL_MASK_DOT_PREC"]
             mask_dot_prec.cache_clear()
     for ev in os.environ.get("FL_BATCH_ELIDE", "").split(","):
-        # SVD-elision variant bisection (FL_ELIDE read at trace time)
+        # SVD-elision variant bisection (SimCfg.elide_variant)
         if ev and want(f"elide:{ev}"):
-            os.environ["FL_ELIDE"] = ev
-            fwd_run(f"fwd/elide:{ev}", "substep", 0)
-            grad_run(f"grad/elide:{ev}", 0)
-            del os.environ["FL_ELIDE"]
+            fwd_run(f"fwd/elide:{ev}", "substep", 0, elide_variant=ev)
+            grad_run(f"grad/elide:{ev}", 0, elide_variant=ev)
     for mm in os.environ.get("FL_BATCH_MASKS", "").split(","):
-        # FL_MASKS bisection: kernels read masks.MASKS_MODE at trace time
-        # (function-local import), so swapping the module attr + fresh
-        # trace picks it up.
+        # FL_MASKS bisection: builders take use_mxu as an explicit
+        # lru_cache-keyed argument read from masks.MASKS_MODE at call
+        # time, so swapping the module attr + fresh trace picks it up.
         if mm and want(f"masks:{mm}"):
             from fluidlab_tpu.ops import masks as _masks
             prev = _masks.MASKS_MODE
@@ -210,6 +208,35 @@ def main():
             fwd_run(f"fwd/masks:{mm}", "substep", 0)
             grad_run(f"grad/masks:{mm}", 0)
             _masks.MASKS_MODE = prev
+    for combo in os.environ.get("FL_BATCH_PREC", "").split(","):
+        # bf16x2 strategy sweep: '+'-joined tokens acc3x|acc1x|mask3x|
+        # mask1p (mask1p = FL_MASK_DOT_PREC=default, 1 bf16 pass).
+        # The accessors are lru_cached — clear them around each point.
+        if combo and want(f"prec:{combo}"):
+            from fluidlab_tpu.ops import masks as _masks
+            envs = {}
+            for tok in combo.split("+"):
+                if tok == "acc3x":
+                    envs["FL_ACC_DOT"] = "3x"
+                elif tok == "acc1x":
+                    envs["FL_ACC_DOT"] = "1x"
+                elif tok == "mask3x":
+                    envs["FL_MASK_DOT_PREC"] = "3x"
+                elif tok == "mask1p":
+                    envs["FL_MASK_DOT_PREC"] = "default"
+                else:
+                    raise ValueError(f"unknown prec token {tok!r}")
+            os.environ.update(envs)
+            _masks.acc_dot_mode.cache_clear()
+            _masks.mask_dot_prec.cache_clear()
+            _masks.dot_prec.cache_clear()
+            fwd_run(f"fwd/prec:{combo}", "substep", 0)
+            grad_run(f"grad/prec:{combo}", 0, all_inviscid_liquid=False)
+            for k in envs:
+                del os.environ[k]
+            _masks.acc_dot_mode.cache_clear()
+            _masks.mask_dot_prec.cache_clear()
+            _masks.dot_prec.cache_clear()
     if want("smoke"):
         smoke_run("smoke")
     for rs in os.environ.get("FL_BATCH_SMOKERES", "").split(","):
