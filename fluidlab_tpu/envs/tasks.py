@@ -103,8 +103,14 @@ class LatteArtEnv(FluidEnv):
         )
 
     def demo_policy(self, user_input=False):
-        """Scripted 3-cycle sine sweep (reference latteart_env.py:118-140)."""
+        """Scripted 3-cycle sine sweep (reference latteart_env.py:118-140);
+        ``user_input=True`` -> interactive mouse (reference :114-117)."""
         from fluidlab_tpu.optimizer.policies import ActionsPolicy
+
+        if user_input:
+            from fluidlab_tpu.optimizer.policies import MousePolicy_vxz
+
+            return MousePolicy_vxz(np.array([0.15, 0.65, 0.5]))
 
         comp_actions_p = np.zeros((1, self.sim.action_dim))
         comp_actions_v = np.zeros((self.horizon_action, self.sim.action_dim))
@@ -210,8 +216,14 @@ class LatteArtStirEnv(FluidEnv):
 
     def demo_policy(self, user_input=False):
         """The reference uses interactive mouse input (latteartstir_env.py
-        :124-128); headless fallback: a scripted figure-8 stir."""
+        :124-128, available here with user_input=True); headless
+        fallback: a scripted figure-8 stir."""
         from fluidlab_tpu.optimizer.policies import ActionsPolicy
+
+        if user_input:
+            from fluidlab_tpu.optimizer.policies import MousePolicy_vxz
+
+            return MousePolicy_vxz(np.array([0.5, 0.73, 0.5]))
 
         H, A = self.horizon_action, self.sim.action_dim
         comp_actions_v = np.zeros((H, A))
@@ -299,9 +311,17 @@ class PouringEnv(FluidEnv):
         )
 
     def demo_policy(self, user_input=False):
-        """Reference uses keyboard input; headless fallback: tilt the
-        glass about z progressively."""
+        """Reference uses keyboard input (pouring_env.py:91-94, available
+        here with user_input=True); headless fallback: tilt the glass
+        about z progressively."""
         from fluidlab_tpu.optimizer.policies import ActionsPolicy
+
+        if user_input:
+            from fluidlab_tpu.optimizer.policies import KeyboardPolicy_wz
+
+            return KeyboardPolicy_wz(
+                np.array([0.6, 0.7, 0.5, 0.0, 0.0, 0.0]), v_ang=0.015
+            )
 
         H, A = self.horizon_action, self.sim.action_dim
         v = np.zeros((H, A))
@@ -766,11 +786,19 @@ class TransportingEnv(FluidEnv):
         )
 
     def demo_policy(self, user_input=False):
+        """Reference uses keyboard input (transporting_env.py:127-130,
+        available here with user_input=True); headless fallback: hold."""
         from fluidlab_tpu.optimizer.policies import ActionsPolicy
 
+        p = np.array([0.5, 0.2, 0.5, 0.0, 0.0, 0.0])
+        if user_input:
+            from fluidlab_tpu.optimizer.policies import (
+                KeyboardPolicy_vxy_wz,
+            )
+
+            return KeyboardPolicy_vxy_wz(p, v_ang=0.003)
         H, A = self.horizon_action, self.sim.action_dim
         v = np.zeros((H, A))
-        p = np.array([0.5, 0.2, 0.5, 0.0, 0.0, 0.0])
         return ActionsPolicy(np.vstack([v, p[None]]))
 
     def trainable_policy(self, optim_cfg, init_range):
@@ -854,6 +882,10 @@ class MixingEnv(FluidEnv):
         H, A = self.horizon_action, self.sim.action_dim
         v = np.zeros((H, A))
         p = np.array([0.5, 0.73, 0.5])
+        if user_input:
+            from fluidlab_tpu.optimizer.policies import MousePolicy_vxz
+
+            return MousePolicy_vxz(p)  # reference mixing_env.py:115-118
         return ActionsPolicy(np.vstack([v, p[None]]))
 
     def trainable_policy(self, optim_cfg, init_range):

@@ -67,6 +67,95 @@ class KeyboardPolicy:
     def get_actions_p(self):
         return self.actions_p
 
+    # (action_dim, {key: (index, sign)}) per variant; magnitudes chosen
+    # per reference policies.py:49-86 (numpad 4/6/2/8 = +-x/+-y, z/x =
+    # +-yaw).
+    _DIRMAP: dict = {}
+    _ACTION_DIM = 6
+
+    def get_action_v(self, i, **kwargs):
+        a = np.zeros(self._ACTION_DIM)
+        for key, (idx, sign, ang) in self._DIRMAP.items():
+            if key in self.keys_activated:
+                mag = self.angular_v_mag if ang else self.linear_v_mag
+                a[idx] += sign * mag
+        return a
+
+
+class KeyboardPolicy_vxy_wz(KeyboardPolicy):
+    """xy translation + z rotation (reference policies.py:49-64)."""
+
+    _ACTION_DIM = 6
+    _DIRMAP = {
+        "4": (0, -1, False), "6": (0, +1, False),
+        "2": (1, -1, False), "8": (1, +1, False),
+        "x": (5, -1, True), "z": (5, +1, True),
+    }
+
+
+class KeyboardPolicy_wz(KeyboardPolicy):
+    """z rotation only (reference policies.py:66-73)."""
+
+    _ACTION_DIM = 6
+    _DIRMAP = {"x": (5, -1, True), "z": (5, +1, True)}
+
+
+class KeyboardPolicy_vxy(KeyboardPolicy):
+    """xy translation only (reference policies.py:75-86)."""
+
+    _ACTION_DIM = 3
+    _DIRMAP = {
+        "4": (0, -1, False), "6": (0, +1, False),
+        "2": (1, -1, False), "8": (1, +1, False),
+    }
+
+
+class MousePolicy:
+    """Interactive mouse control (reference policies.py:89-114).
+    Requires pynput; raises if unavailable (headless)."""
+
+    def __init__(self, init_p):
+        from pynput import mouse  # noqa: F401  (optional dep)
+
+        self.actions_p = init_p
+        self.mouse_pos = np.zeros(2)
+        self.mouse_pos_last = None
+        self.mouse_pressed = False
+        self.started = False
+        self.listener = mouse.Listener(
+            on_move=self._on_move, on_click=self._on_click
+        )
+        self.listener.start()
+
+    def _on_move(self, x, y):
+        self.started = True
+        self.mouse_pos[:] = (x, y)
+
+    def _on_click(self, x, y, button, pressed):
+        self.mouse_pos[:] = (x, y)
+        self.mouse_pressed = pressed
+
+    def get_actions_p(self):
+        return self.actions_p
+
+    def _pos_delta(self):
+        if not self.started:
+            return np.zeros(2)
+        if self.mouse_pos_last is None:
+            self.mouse_pos_last = self.mouse_pos.copy()
+        d = self.mouse_pos - self.mouse_pos_last
+        self.mouse_pos_last = self.mouse_pos.copy()
+        return d
+
+
+class MousePolicy_vxz(MousePolicy):
+    """Screen-plane mouse motion -> xz velocity, 5e-4 per pixel
+    (reference policies.py:116-128)."""
+
+    def get_action_v(self, i, **kwargs):
+        d = self._pos_delta()
+        return np.array([d[0], 0.0, d[1]]) * 5e-4
+
 
 class TrainablePolicy:
     """reference policies.py:131-164."""
