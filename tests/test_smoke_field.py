@@ -145,3 +145,77 @@ class TestTrilerpZpair:
         ga = jax.grad(lambda f: jnp.sum(jnp.sin(_trilerp(f, p))))(field)
         gb = jax.grad(lambda f: jnp.sum(jnp.sin(_trilerp_zpair(f, p))))(field)
         np.testing.assert_allclose(ga, gb, rtol=2e-5, atol=2e-5)
+
+
+class TestTrilerpStencil:
+    """FL_TRILERP=stencil (gather-free tent-weight stencil) must match
+    the 8-corner gather implementation for advection-style positions
+    (within its D-cell displacement contract), including backtraces that
+    land outside the domain near the boundary."""
+
+    def _positions(self, R, D, rng):
+        ii, jj, kk = np.meshgrid(
+            np.arange(R), np.arange(R), np.arange(R), indexing="ij"
+        )
+        centers = np.stack([ii, jj, kk]).astype(np.float32) + 0.5
+        # displacements up to D cells (the contract), incl. pushing
+        # boundary cells' samples out of the domain entirely
+        disp = rng.uniform(-D, D, size=(3, R, R, R)).astype(np.float32)
+        return jnp.asarray(centers + disp)
+
+    def test_matches_corner_impl(self):
+        from fluidlab_tpu.engine.smoke import _trilerp, _trilerp_stencil
+
+        R, D = 16, 2
+        rng = np.random.RandomState(7)
+        field = jnp.asarray(rng.normal(size=(4, R, R, R)), jnp.float32)
+        p = self._positions(R, D, rng)
+        a = jax.jit(_trilerp)(field, p)
+        b = jax.jit(lambda f, q: _trilerp_stencil(f, q, D=D))(field, p)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self):
+        from fluidlab_tpu.engine.smoke import _trilerp, _trilerp_stencil
+
+        R, D = 8, 2
+        rng = np.random.RandomState(11)
+        field = jnp.asarray(rng.normal(size=(2, R, R, R)), jnp.float32)
+        p = self._positions(R, D, rng)
+
+        def la(f):
+            return jnp.sum(jnp.sin(_trilerp(f, p)))
+
+        def lb(f):
+            return jnp.sum(jnp.sin(_trilerp_stencil(f, p, D=D)))
+
+        ga = jax.jit(jax.grad(la))(field)
+        gb = jax.jit(jax.grad(lb))(field)
+        np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-5)
+
+    def test_grad_wrt_positions_matches(self):
+        """The advection adjoint also differentiates through p."""
+        from fluidlab_tpu.engine.smoke import _trilerp, _trilerp_stencil
+
+        R, D = 8, 2
+        rng = np.random.RandomState(13)
+        field = jnp.asarray(rng.normal(size=(1, R, R, R)), jnp.float32)
+        # keep positions strictly inside cells (trilerp is not
+        # differentiable at integer corners; both impls kink there)
+        ii, jj, kk = np.meshgrid(
+            np.arange(R), np.arange(R), np.arange(R), indexing="ij"
+        )
+        centers = np.stack([ii, jj, kk]).astype(np.float32) + 0.5
+        disp = rng.uniform(-1.2, 1.2, size=(3, R, R, R)).astype(np.float32)
+        disp = np.clip(np.round(disp * 4) / 4 + 0.11, -1.4, 1.4)
+        p = jnp.asarray(centers + disp)
+
+        ga = jax.jit(jax.grad(lambda q: jnp.sum(jnp.cos(_trilerp(field, q)))))(p)
+        gb = jax.jit(
+            jax.grad(
+                lambda q: jnp.sum(jnp.cos(_trilerp_stencil(field, q, D=D)))
+            )
+        )(p)
+        # interior cells only: at the domain boundary the two impls
+        # clamp in value-equivalent but differently-parameterized ways
+        sl = (slice(None),) + (slice(2, R - 2),) * 3
+        np.testing.assert_allclose(ga[sl], gb[sl], rtol=2e-4, atol=2e-5)
