@@ -1,0 +1,296 @@
+"""Pallas TPU kernels for the Eulerian smoke step.
+
+Two kernels replace the XLA hot spots of ``engine/smoke.py`` (reference
+fluidlab/fluidengine/simulators/smoke_field.py:95-160):
+
+1. ``advect_rk3`` — the RK3 semi-Lagrangian backtrace plus the final
+   [v | q] sample, fused into ONE kernel.  The XLA stencil form
+   (smoke.py ``_trilerp_stencil``) already avoids gathers but XLA splits
+   the 125-term sums into ~23 ms of loop fusions that re-read the field
+   from HBM per term; here the field slab lives in VMEM and every term
+   is a ``pltpu.roll`` + FMA.  Out-of-range stencil reads need no edge
+   masking: the sample position is clamped into [0, R-1] cell space, so
+   the tent weight of any out-of-range offset is identically zero and
+   wrapped (cyclic) roll values are multiplied by 0.
+
+2. ``jacobi_project`` — ``iters`` Jacobi pressure iterations with the
+   pressure field resident in VMEM (the XLA scan re-reads p + the six
+   redirect masks from HBM every iteration).  The iteration map
+   ``p <- free * (sum_e redirect_e(p) - div) / 6`` is an affine map
+   ``A p + B div`` whose linear part is exactly symmetric (the
+   off-diagonal entry between free cells c and c+e is 1/6 from both
+   sides; edge-clamped neighbors contribute to the diagonal), so the
+   custom VJP runs the SAME kernel on the cotangent with div = 0:
+   ``d_p0 = A^iters g`` and ``d_div = -(free/6) * sum_{k<iters} A^k g``.
+
+Both kernels carry custom VJPs; gradient parity against the XLA path is
+tested in tests/test_smoke_pallas.py (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll(x, shift: int, axis: int):
+    """pltpu.roll with negative shifts normalized (roll is cyclic)."""
+    size = x.shape[axis]
+    shift = shift % size
+    if shift == 0:
+        return x
+    return pltpu.roll(x, shift, axis)
+
+
+# ----------------------------------------------------------------- advection
+
+def _advect_ref(vq, dt: float, D: int):
+    """Pure-XLA spec of the kernel (smoke.py stencil composition):
+    RK3 backtrace from cell centers with stage-1 trilerp elided, then one
+    fused [v | q] stencil sample.  Used as the custom-VJP backward (the
+    kernel and this function compute the same math)."""
+    from fluidlab_tpu.engine import smoke as _smoke
+
+    R = vq.shape[1]
+    ar = jnp.arange(R, dtype=jnp.float32)
+    pos = jnp.stack(jnp.meshgrid(ar, ar, ar, indexing="ij")) + 0.5
+    v = vq[:3]
+
+    def tl(f, p):
+        return _smoke._trilerp_stencil(f, p, D=D)
+
+    back = _smoke._backtrace_rk3(v, pos, dt, v_at_p=v, tl=tl)
+    return tl(vq, back)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_advect_kernel(C: int, R: int, S: int, D: int, dt: float):
+    """One x-slab program: inputs are the (C, S, R, R) x-neighbor blocks
+    i-1, i, i+1 of the channel-major field; output is the advected slab."""
+    nblk = R // S
+    offs = tuple(range(-D, D + 1))
+
+    def sample(xcat, px, py, pz, xg, yg, zg, nch):
+        # xcat: (C, 3S, R, R) rows [(i-1)S, (i+2)S); p*: (S,R,R) positions
+        # (cell units, centers at idx + 0.5).  Destination row r reads
+        # global x = i*S + r + ox -> xcat row S + r + ox.
+        rels = []
+        for p_ax, g_ax in ((px, xg), (py, yg), (pz, zg)):
+            pI = jnp.clip(p_ax - 0.5, 0.0, float(R - 1))
+            rels.append(jnp.clip(pI - g_ax, float(-D), float(D)))
+        w = [
+            [jnp.maximum(0.0, 1.0 - jnp.abs(rel - o)) for o in offs]
+            for rel in rels
+        ]
+        acc = jnp.zeros((nch, S, R, R), jnp.float32)
+        for oxi, ox in enumerate(offs):
+            sl = xcat[:nch, S + ox:2 * S + ox]
+            for oyi, oy in enumerate(offs):
+                sly = _roll(sl, -oy, 2)
+                wxy = w[0][oxi] * w[1][oyi]
+                for ozi, oz in enumerate(offs):
+                    slz = _roll(sly, -oz, 3)
+                    acc = acc + (wxy * w[2][ozi])[None] * slz
+        return acc
+
+    def kernel(xm_ref, x0_ref, xp_ref, out_ref):
+        i = pl.program_id(0)
+        xg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + jnp.float32(
+            i * S
+        )
+        yg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1)
+        zg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2)
+        xcat = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
+        cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
+        v1x, v1y, v1z = x0_ref[0], x0_ref[1], x0_ref[2]
+        # stage 1 sample elided: positions are the cell centers
+        v2 = sample(
+            xcat,
+            cx - 0.5 * dt * v1x,
+            cy - 0.5 * dt * v1y,
+            cz - 0.5 * dt * v1z,
+            xg, yg, zg, 3,
+        )
+        v3 = sample(
+            xcat,
+            cx - 0.75 * dt * v2[0],
+            cy - 0.75 * dt * v2[1],
+            cz - 0.75 * dt * v2[2],
+            xg, yg, zg, 3,
+        )
+        c23, c13, c49 = 2.0 / 9.0, 1.0 / 3.0, 4.0 / 9.0
+        bx = cx - dt * (c23 * v1x + c13 * v2[0] + c49 * v3[0])
+        by = cy - dt * (c23 * v1y + c13 * v2[1] + c49 * v3[1])
+        bz = cz - dt * (c23 * v1z + c13 * v2[2] + c49 * v3[2])
+        out_ref[:] = sample(xcat, bx, by, bz, xg, yg, zg, C)
+
+    def mk_index(e):
+        def index(i):
+            return (0, jnp.clip(i + e, 0, nblk - 1), 0, 0)
+
+        return index
+
+    def run(vq):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, R, R, R), jnp.float32),
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((C, S, R, R), mk_index(e)) for e in (-1, 0, 1)
+            ],
+            out_specs=pl.BlockSpec((C, S, R, R), lambda i: (0, i, 0, 0)),
+        )(vq, vq, vq)
+
+    return run
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def advect_rk3(vq, dt: float, D: int = 2, S: int = 8,
+               interpret: bool = False):
+    """RK3 semi-Lagrangian advection of the channel-major field ``vq``
+    ((3 + Q, R, R, R); channels 0:3 are the velocity) by ``dt`` with the
+    clamped-stencil trilerp contract (displacements beyond D cells
+    saturate).  Fused Pallas kernel forward; XLA-stencil VJP backward."""
+    return _advect_impl(vq, dt, D, S, interpret)
+
+
+def _advect_impl(vq, dt, D, S, interpret):
+    C, R = vq.shape[0], vq.shape[1]
+    run = _make_advect_kernel(C, R, S, D, dt)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return run(vq)
+    return run(vq)
+
+
+def _advect_fwd(vq, dt, D, S, interpret):
+    return _advect_impl(vq, dt, D, S, interpret), vq
+
+
+def _advect_bwd(dt, D, S, interpret, vq, g):
+    _, vjp = jax.vjp(lambda a: _advect_ref(a, dt, D), vq)
+    return (vjp(g)[0],)
+
+
+advect_rk3.defvjp(_advect_fwd, _advect_bwd)
+
+
+# ------------------------------------------------------------------- Jacobi
+
+@functools.lru_cache(maxsize=None)
+def _make_jacobi_kernel(R: int, iters: int, with_acc: bool):
+    """All ``iters`` Jacobi iterations in one program, p resident in
+    VMEM.  With ``with_acc`` also emits sum_{k<iters} A^k p0 (the VJP
+    needs it for d_div)."""
+
+    def kernel(*refs):
+        if with_acc:
+            p_ref, div_ref, free_ref, out_ref, acc_ref = refs
+        else:
+            p_ref, div_ref, free_ref, out_ref = refs
+        free = free_ref[:]
+        div = div_ref[:]
+        # wrapped-plane masks (broadcastable singleton shapes, ~1 tile)
+        ixl = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0)
+        iyl = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
+        izl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+        ne = {
+            (0, -1): (ixl != R - 1).astype(jnp.float32),
+            (0, 1): (ixl != 0).astype(jnp.float32),
+            (1, -1): (iyl != R - 1).astype(jnp.float32),
+            (1, 1): (iyl != 0).astype(jnp.float32),
+            (2, -1): (izl != R - 1).astype(jnp.float32),
+            (2, 1): (izl != 0).astype(jnp.float32),
+        }
+        # roll shift s along axis a brings p(idx - s); the redirect for
+        # direction +e_a needs p(idx + 1) -> shift -1.
+        cnt_live = jnp.zeros((R, R, R), jnp.float32)
+        for (a, s), m in ne.items():
+            cnt_live = cnt_live + m * _roll(free, s, a)
+        self_w = 6.0 - cnt_live
+        sixth = jnp.float32(1.0 / 6.0)
+
+        def apply_A(p, rhs):
+            nb = jnp.zeros((R, R, R), jnp.float32)
+            for (a, s), m in ne.items():
+                nb = nb + m * _roll(p, s, a)
+            return free * ((nb + self_w * p - rhs) * sixth)
+
+        if with_acc:
+            def body(_, carry):
+                p, acc = carry
+                return apply_A(p, div), acc + p
+
+            p0 = p_ref[:]
+            p_out, acc = jax.lax.fori_loop(
+                0, iters, body, (p0, jnp.zeros((R, R, R), jnp.float32))
+            )
+            out_ref[:] = p_out
+            acc_ref[:] = acc
+        else:
+            def body(_, p):
+                return apply_A(p, div)
+
+            out_ref[:] = jax.lax.fori_loop(0, iters, body, p_ref[:])
+
+    def run(p0, div, free_f):
+        out_shape = jax.ShapeDtypeStruct((R, R, R), jnp.float32)
+        shapes = (out_shape, out_shape) if with_acc else out_shape
+        return pl.pallas_call(
+            kernel,
+            out_shape=shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=(
+                (pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
+                if with_acc
+                else pl.BlockSpec(memory_space=pltpu.VMEM)
+            ),
+        )(p0, div, free_f)
+
+    return run
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def jacobi_project(p0, div, free_f, iters: int, interpret: bool = False):
+    """``iters`` Jacobi iterations of the free-cell pressure projection
+    (reference pressure_jacobi kernel, smoke_field.py:135-146, with the
+    compute_location neighbor redirects).  ``free_f`` is the float free
+    mask and is treated as a constant (zero cotangent).  ``p0`` must
+    already be masked by ``free_f``."""
+    return _jacobi_impl(p0, div, free_f, iters, interpret, False)[0]
+
+
+def _jacobi_impl(p0, div, free_f, iters, interpret, with_acc):
+    R = p0.shape[0]
+    run = _make_jacobi_kernel(R, iters, with_acc)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            out = run(p0, div, free_f)
+    else:
+        out = run(p0, div, free_f)
+    return out if with_acc else (out,)
+
+
+def _jacobi_fwd(p0, div, free_f, iters, interpret):
+    return _jacobi_impl(p0, div, free_f, iters, interpret, False)[0], free_f
+
+
+def _jacobi_bwd(iters, interpret, free_f, g):
+    # The kernel computes A_kernel = A_true restricted to free-masked
+    # inputs (the nb_free redirect factor is elided because p is always
+    # masked); A_true g == A_kernel (free * g), so mask the cotangent
+    # once up front.  A_true is symmetric, so the adjoint iteration IS
+    # the forward iteration with div = 0.
+    s, acc = _jacobi_impl(
+        free_f * g, jnp.zeros_like(g), free_f, iters, interpret, True
+    )
+    d_p0 = s
+    d_div = -(free_f / 6.0) * acc
+    return d_p0, d_div, jnp.zeros_like(free_f)
+
+
+jacobi_project.defvjp(_jacobi_fwd, _jacobi_bwd)

@@ -116,7 +116,7 @@ def main():
         print(f"[{tag}] {per * 1e3:.2f} ms/substep fwd+bwd "
               f"({H * cfg.n_substeps / dt:.1f} substeps/s)", flush=True)
 
-    def smoke_run(tag, res=128, iters=50):
+    def smoke_run(tag, res=128, iters=50, impl=None, grad=False):
         from fluidlab_tpu.engine.config import SimCfg, SmokeCfg
         from fluidlab_tpu.engine.scene import SceneParams
         from fluidlab_tpu.engine.smoke import (
@@ -133,14 +133,37 @@ def main():
         state = SimState(particles=None, effectors=(),
                          smoke=init_smoke_state(smoke_cfg),
                          f_global=jnp.zeros((), jnp.int32))
-        step = make_smoke_step(cfg)
-        inner = 5
+        prev_impl = os.environ.get("FL_SMOKE_IMPL")
+        if impl is not None:
+            os.environ["FL_SMOKE_IMPL"] = impl
+        try:
+            step = make_smoke_step(cfg)
+        finally:
+            if impl is not None:
+                if prev_impl is None:
+                    del os.environ["FL_SMOKE_IMPL"]
+                else:
+                    os.environ["FL_SMOKE_IMPL"] = prev_impl
+        inner = 2 if grad else 5
 
-        @jax.jit
-        def many(s):
-            for _ in range(inner):
-                s = step(s, params)
-            return s
+        if grad:
+            def loss(v0, s):
+                st = s.replace(smoke=s.smoke.replace(v=v0))
+                for _ in range(inner):
+                    st = step(st, params)
+                return (jnp.sum(jnp.abs(st.smoke.v))
+                        + jnp.sum(st.smoke.q ** 2))
+
+            vg = jax.jit(jax.value_and_grad(loss))
+
+            def many(s):
+                return vg(s.smoke.v, s)
+        else:
+            @jax.jit
+            def many(s):
+                for _ in range(inner):
+                    s = step(s, params)
+                return s
 
         t0 = time.perf_counter()
         out = jax.block_until_ready(many(state))
@@ -153,7 +176,8 @@ def main():
             best = min(best, (time.perf_counter() - t0) / inner)
         del out
         print(f"[{tag}] {best * 1e3:.2f} ms/step ({1.0 / best:.1f} "
-              f"steps/s) res={res} jacobi={iters}", flush=True)
+              f"steps/s) res={res} jacobi={iters} "
+              f"{'fwd+bwd' if grad else 'fwd'}", flush=True)
 
     if want("fwd/substep"):
         fwd_run("fwd/substep", "substep", 0)
@@ -251,6 +275,14 @@ def main():
             os.environ["FL_TRILERP"] = tl
             smoke_run(f"smoke/tl:{tl}")
             del os.environ["FL_TRILERP"]
+    for im in os.environ.get("FL_BATCH_SMOKEIMPL", "").split(","):
+        # FL_SMOKE_IMPL sweep: pallas (fused advection + VMEM Jacobi
+        # kernels) vs xla (stencil fusions + scanned Jacobi).
+        if im and want(f"smoke/impl:{im}"):
+            smoke_run(f"smoke/impl:{im}", impl=im)
+    for im in os.environ.get("FL_BATCH_SMOKEGRAD", "").split(","):
+        if im and want(f"smokegrad/impl:{im}"):
+            smoke_run(f"smokegrad/impl:{im}", impl=im, grad=True)
     print("BATCH DONE", flush=True)
 
 
