@@ -9,6 +9,9 @@ right unit for 3x3 chains at particle batch sizes.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -113,6 +116,79 @@ def det_soa(A):
         - A[1] * (A[3] * A[8] - A[5] * A[6])
         + A[2] * (A[3] * A[7] - A[4] * A[6])
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def liquid_J_cbrt(c, C, dt):
+    """(J, cbrt(J)) for a spherical liquid deformation gradient F = c I:
+    J = det((I + dt C) F) = c^3 det(I + dt C) (reference liquid F-update,
+    mpm_simulator.py:358-359, with the spherical-F shortcut).
+
+    The closed-form VJP (adjugate for d det, power rule for cbrt) puts an
+    opaque boundary around the chain: letting XLA AD build it costs
+    +9 ms/substep at 65k on v5e (RESULTS.md r5/r6 elision bisection —
+    the SVD custom_vjp it replaced was acting as that boundary)."""
+    J, cbrtJ, _, _ = _liquid_J_fwd_impl(c, C, dt)
+    return J, cbrtJ
+
+
+def _liquid_J_fwd_impl(c, C, dt):
+    m0 = 1.0 + dt * C[0]
+    m1 = dt * C[1]
+    m2 = dt * C[2]
+    m3 = dt * C[3]
+    m4 = 1.0 + dt * C[4]
+    m5 = dt * C[5]
+    m6 = dt * C[6]
+    m7 = dt * C[7]
+    m8 = 1.0 + dt * C[8]
+    detM = (
+        m0 * (m4 * m8 - m5 * m7)
+        - m1 * (m3 * m8 - m5 * m6)
+        + m2 * (m3 * m7 - m4 * m6)
+    )
+    J = (c * c * c) * detM
+    return J, jnp.cbrt(J), detM, (m0, m1, m2, m3, m4, m5, m6, m7, m8)
+
+
+def _liquid_J_fwd(c, C, dt):
+    J, cbrtJ, detM, _ = _liquid_J_fwd_impl(c, C, dt)
+    return (J, cbrtJ), (c, C, detM, cbrtJ)
+
+
+def _liquid_J_bwd(dt, res, cots):
+    c, C, detM, cbrtJ = res
+    gJ, gK = cots
+    # d cbrt(J)/dJ = 1/(3 cbrt(J)^2); clamp the square so inert lanes
+    # (J from inactive-particle garbage, zero cotangent) stay finite.
+    k2 = jnp.maximum(cbrtJ * cbrtJ, 1e-20)
+    dJ = gJ + gK / (3.0 * k2)
+    d_c = dJ * (3.0 * c * c) * detM
+    m0 = 1.0 + dt * C[0]
+    m1 = dt * C[1]
+    m2 = dt * C[2]
+    m3 = dt * C[3]
+    m4 = 1.0 + dt * C[4]
+    m5 = dt * C[5]
+    m6 = dt * C[6]
+    m7 = dt * C[7]
+    m8 = 1.0 + dt * C[8]
+    s = dJ * (c * c * c) * dt  # chain: dJ/dC_ij = c^3 dt cof_ij(M)
+    d_C = jnp.stack([
+        s * (m4 * m8 - m5 * m7),
+        s * (m5 * m6 - m3 * m8),
+        s * (m3 * m7 - m4 * m6),
+        s * (m2 * m7 - m1 * m8),
+        s * (m0 * m8 - m2 * m6),
+        s * (m1 * m6 - m0 * m7),
+        s * (m1 * m5 - m2 * m4),
+        s * (m2 * m3 - m0 * m5),
+        s * (m0 * m4 - m1 * m3),
+    ])
+    return d_c, d_C
+
+
+liquid_J_cbrt.defvjp(_liquid_J_fwd, _liquid_J_bwd)
 
 
 def eye_soa(n, dtype=jnp.float32):

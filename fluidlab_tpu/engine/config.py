@@ -128,11 +128,14 @@ class SimCfg:
     # trace time: the corotated stress term is identically zero, so only
     # J is needed — computed as det(F_tmp) — and F resets to cbrt(J) I.
     all_inviscid_liquid: bool = False
-    # elision bisection variant (engine/mpm.py): 'sph' = spherical-F
-    # shortcut (J = c^3 det(I + dt C), no F_tmp matmul); 'ftmp' = keep
-    # the F_tmp matmul, skip only the SVD.  A SimCfg field (not an env
-    # read) so jit retraces when it changes (see ADVICE r1).
-    elide_variant: str = "sph"
+    # elision variant (engine/mpm.py): 'sphvjp' (default) = spherical-F
+    # shortcut with a closed-form custom VJP around the det/cbrt chain
+    # (core/mat3.py liquid_J_cbrt — without the boundary the XLA-AD
+    # backward costs +9 ms/substep on v5e, RESULTS.md); 'sph' = same
+    # math under XLA AD; 'ftmp' = keep the F_tmp matmul, skip only the
+    # SVD.  A SimCfg field (not an env read) so jit retraces when it
+    # changes (see ADVICE r1).
+    elide_variant: str = "sphvjp"
     rand_cycle: int = 4096  # injector random-offset table length
     # 'regions' keeps the whole grid phase in block-region space (the
     # canonical (C, G^3) grid never exists, ops/regions_pallas.py) and

@@ -39,6 +39,7 @@ from fluidlab_tpu.core import quat as quat_ops
 from fluidlab_tpu.core.bspline import STENCIL, base_and_fx_soa, quadratic_weights_soa
 from fluidlab_tpu.core.mat3 import (
     det_soa,
+    liquid_J_cbrt,
     diag_mm_soa,
     eye_soa,
     mm_nt_soa,
@@ -419,11 +420,19 @@ def make_substep(cfg: SimCfg, psum_axis=None):
             # cbrt(J) I every substep), so F_tmp = c (I + dt C) never
             # materializes: J = c^3 det(I + dt C) reads one F row and
             # skips the 3x3 matmul (and its residual) entirely.
+            cbrtJ = None
             if cfg.elide_variant == "ftmp":
                 # bisection variant: keep the 3x3 F_tmp matmul (and its
                 # (9, N) residual) but skip the SVD — J via direct det.
                 F_tmp_e = mm_soa(I9 + dt * C, F)
                 J = det_soa(F_tmp_e)
+            elif cfg.elide_variant == "sphvjp":
+                # closed-form custom VJP around the det/cbrt chain: the
+                # XLA-AD version costs +9 ms/substep in the backward on
+                # v5e (RESULTS.md r5/r6 — the removed SVD custom_vjp was
+                # acting as a residual/fusion boundary).
+                J, cbrtJ = liquid_J_cbrt(F[0], C, dt)
+                cbrtJ = jnp.where(used, cbrtJ, 1.0)
             else:
                 c3 = F[0] * F[0] * F[0]
                 J = c3 * det_soa(I9 + dt * C)
@@ -435,8 +444,10 @@ def make_substep(cfg: SimCfg, psum_axis=None):
             for d in (0, 4, 8):
                 stress = stress.at[d].set(vol_term)
             affine = stress + params.p_mass[None, :] * C
+            if cbrtJ is None:
+                cbrtJ = jnp.cbrt(J)
             F_next = jnp.where(
-                used[None, :], I9 * jnp.cbrt(J)[None, :], F
+                used[None, :], I9 * cbrtJ[None, :], F
             )
         else:
             F_tmp = mm_soa(I9 + dt * C, F)

@@ -278,14 +278,16 @@ class FluidSim:
         has_rigid = particles is not None and bool(
             np.any(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_RIGID)
         )
-        # SVD elision for all-inviscid-liquid scenes: ~4% forward win on
-        # TPU, but the fwd+bwd program is 1.4x SLOWER without the SVD
-        # custom_vjp in the graph (measured: 21.0 -> 30.1 ms/substep @65k,
-        # RESULTS.md round-5) — FluidSim drives the differentiable solver,
-        # so the elision is opt-in here (FL_SVD_ELIDE=1 for forward-only
-        # use); bench scenes keep it on for the forward headline.
+        # SVD elision for all-inviscid-liquid scenes.  The round-5 r1
+        # finding (elided backward 1.4x SLOWER: 21.0 -> 30.1 ms/substep)
+        # was the det/cbrt chain losing the SVD custom_vjp's residual/
+        # fusion boundary; with elide_variant='sphvjp' (closed-form VJP
+        # around J = c^3 det(I + dt C) and cbrt, core/mat3.py) the elided
+        # fwd+bwd measures 13.0 vs 15.0 ms/substep for the SVD path @65k
+        # (RESULTS.md r2), so elision is now default-ON when the scene
+        # qualifies.  FL_SVD_ELIDE=0 forces the SVD path for sweeps.
         all_inviscid = (
-            os.environ.get("FL_SVD_ELIDE", "0") == "1"
+            os.environ.get("FL_SVD_ELIDE", "1") == "1"
             and particles is not None
             and bool(
                 np.all(M.MAT_CLASS_TABLE[particles["mat"]] == M.MAT_LIQUID)

@@ -165,7 +165,23 @@ class FluidEnv(gym.Env):
         return obs, reward, done, {}
 
     def render(self, mode="human"):
-        return self.sim.render("rgb_array")
+        frame = self.sim.render("rgb_array")
+        if mode == "human":
+            # interactive window when a display exists (reference
+            # GGUIRenderer human mode); headless falls through to the
+            # returned rgb_array.
+            from fluidlab_tpu.render.viewer import (
+                InteractiveViewer,
+                display_available,
+            )
+
+            if display_available():
+                if getattr(self, "_viewer", None) is None:
+                    self._viewer = InteractiveViewer(
+                        self.sim.renderer, self.sim
+                    )
+                self._viewer.draw()
+        return frame
 
     @property
     def t(self):

@@ -99,11 +99,16 @@ def _make_advect_kernel(C: int, R: int, S: int, D: int, dt: float):
 
     def kernel(xm_ref, x0_ref, xp_ref, out_ref):
         i = pl.program_id(0)
-        xg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + jnp.float32(
-            i * S
+        # Mosaic iota must be integer-typed; cast to f32 after.
+        xg = jax.lax.broadcasted_iota(jnp.int32, (S, R, R), 0).astype(
+            jnp.float32
+        ) + (i * S).astype(jnp.float32)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (S, R, R), 1).astype(
+            jnp.float32
         )
-        yg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1)
-        zg = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2)
+        zg = jax.lax.broadcasted_iota(jnp.int32, (S, R, R), 2).astype(
+            jnp.float32
+        )
         xcat = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
         cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
         v1x, v1y, v1z = x0_ref[0], x0_ref[1], x0_ref[2]
@@ -143,6 +148,12 @@ def _make_advect_kernel(C: int, R: int, S: int, D: int, dt: float):
                 pl.BlockSpec((C, S, R, R), mk_index(e)) for e in (-1, 0, 1)
             ],
             out_specs=pl.BlockSpec((C, S, R, R), lambda i: (0, i, 0, 0)),
+            # the unrolled 125-term stencil keeps ~70M (S=4, R=128) of
+            # live temporaries on the Mosaic stack — the default 16M
+            # scoped-vmem limit is far too small
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
         )(vq, vq, vq)
 
     return run
@@ -248,6 +259,10 @@ def _make_jacobi_kernel(R: int, iters: int, with_acc: bool):
                 (pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
                 if with_acc
                 else pl.BlockSpec(memory_space=pltpu.VMEM)
+            ),
+            # full-field iteration state + per-iteration roll temporaries
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
         )(p0, div, free_f)
 

@@ -126,6 +126,22 @@ class NativeRenderer:
                 pass
         self._built = True
 
+    def set_camera(self, pos=None, lookat=None, fov=None):
+        """Update the camera between frames (interactive orbit — the
+        reference GGUIRenderer's camera controls, ggui_renderer.py:83-129)."""
+        if pos is not None:
+            self.camera_pos = np.asarray(pos, np.float32)
+        if lookat is not None:
+            self.camera_lookat = np.asarray(lookat, np.float32)
+        if fov is not None:
+            self.fov = float(fov)
+        if self._built:
+            self.lib.swr_set_camera_params(
+                np.ascontiguousarray(self.camera_pos),
+                np.ascontiguousarray(self.camera_lookat),
+                self.fov,
+            )
+
     def render_frame(self, sim, mode="rgb_array", tgt_particles=None):
         W, H = self.res
         if sim.state.particles is not None:

@@ -187,3 +187,40 @@ class TestInviscidLiquidSpecialization:
         gf = jax.jit(jax.grad(lambda v: loss(cfg, v)))(state.particles.v)
         gr = jax.jit(jax.grad(lambda v: loss(cfg_ref, v)))(state.particles.v)
         np.testing.assert_allclose(gf, gr, rtol=1e-4, atol=1e-8)
+
+    def test_elide_variants_match(self):
+        """The bisection variants ('ftmp': keep F_tmp, direct det;
+        'sphvjp': closed-form custom VJP around the det/cbrt chain) must
+        match the default spherical-F shortcut, fwd and grad."""
+        import dataclasses
+
+        from fluidlab_tpu.engine.mpm import make_step
+        from fluidlab_tpu.utils.bench_scenes import liquid_block_scene
+
+        cfg, params, state = liquid_block_scene(n_particles=512, horizon=3)
+        act = jnp.zeros((1,), jnp.float32)
+        ha = jnp.asarray(False)
+
+        def run(variant):
+            c = dataclasses.replace(cfg, elide_variant=variant)
+            step = make_step(c)
+
+            def loss(v0):
+                st = state.replace(particles=state.particles.replace(v=v0))
+                for _ in range(3):
+                    st = step(st, params, act, ha)
+                return jnp.sum(st.particles.x[1] ** 2), st
+
+            (val, st), g = jax.jit(
+                jax.value_and_grad(loss, has_aux=True)
+            )(state.particles.v)
+            return val, st, g
+
+        v0, s0, g0 = run("sph")
+        for variant in ("ftmp", "sphvjp"):
+            v1, s1, g1 = run(variant)
+            np.testing.assert_allclose(v1, v0, rtol=1e-6)
+            np.testing.assert_allclose(
+                s1.particles.x, s0.particles.x, atol=1e-6
+            )
+            np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-8)

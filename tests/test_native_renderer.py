@@ -72,3 +72,36 @@ class TestNativeRenderer:
         assert (aniso > 0).all()
         # radii sorted descending per particle
         assert (aniso[:, 0] >= aniso[:, 2] - 1e-6).all()
+
+
+class TestInteractiveViewer:
+    """Viewer parity piece (reference GGUIRenderer camera controls):
+    headless guard + pure orbit math."""
+
+    def test_headless_raises(self, monkeypatch):
+        from fluidlab_tpu.render.viewer import InteractiveViewer
+
+        monkeypatch.delenv("DISPLAY", raising=False)
+        monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+        with pytest.raises(RuntimeError, match="headless"):
+            InteractiveViewer(renderer=None, sim=None)
+
+    def test_orbit_math(self):
+        import numpy as np
+
+        from fluidlab_tpu.render.viewer import orbit_camera
+
+        pos, lookat = (1.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+        # full-circle azimuth returns to start, radius preserved
+        p, l = np.asarray(pos), np.asarray(lookat)
+        for _ in range(8):
+            p, l = orbit_camera(p, l, d_az=np.pi / 4)
+        np.testing.assert_allclose(p, pos, atol=1e-5)
+        np.testing.assert_allclose(l, lookat, atol=1e-6)
+        # dolly changes distance only
+        p2, l2 = orbit_camera(pos, lookat, d_r=0.25)
+        np.testing.assert_allclose(l2, lookat, atol=1e-6)
+        np.testing.assert_allclose(np.linalg.norm(p2 - l2), 1.25, rtol=1e-5)
+        # elevation clamps near the pole
+        p3, _ = orbit_camera(pos, lookat, d_el=10.0)
+        assert np.linalg.norm(p3 - l) > 0.05
