@@ -153,10 +153,17 @@ class FluidSim:
     def setup_loss(self, loss_cls, **kwargs):
         self.loss = loss_cls(max_loss_steps=self.horizon, **kwargs)
 
-    def setup_renderer(self, **kwargs):
-        from fluidlab_tpu.render.pointcloud import PointRenderer
+    def setup_renderer(self, kind="point", **kwargs):
+        """kind='point' (matplotlib-free rasterizer) or 'native' (the
+        C++ fluid-surface renderer, reference GLRenderer role)."""
+        if kind == "native":
+            from fluidlab_tpu.render.native_renderer import NativeRenderer
 
-        self.renderer = PointRenderer(**kwargs)
+            self.renderer = NativeRenderer(**kwargs)
+        else:
+            from fluidlab_tpu.render.pointcloud import PointRenderer
+
+            self.renderer = PointRenderer(**kwargs)
 
     # ------------------------------------------------------------- building
     def _build_agent(self):

@@ -54,6 +54,41 @@ def padded_size(n: int, G: int) -> int:
 _MODE = _os.environ.get("FL_BINNING", "count")  # 'count' | 'argsort'
 
 
+_PREFIX_CHUNK = 256
+
+
+def _prefix_inclusive(oh):
+    """Inclusive prefix sum of a (N, K) 0/1 int32 lattice along axis 0.
+
+    ``jnp.cumsum`` lowers to ~log2(N) full passes over the lattice
+    (~0.5 GB of traffic at 65k x 64); instead do a two-level scan: a
+    lower-triangular-ones matmul gives within-chunk prefixes on the MXU
+    (operands are exactly representable in bf16, partial sums exact in
+    the f32 accumulator — any MXU precision is exact), and a tiny
+    cumsum over the per-chunk totals provides the chunk offsets.
+    """
+    import jax
+
+    N, K = oh.shape
+    CH = _PREFIX_CHUNK
+    if N <= CH:
+        return jnp.cumsum(oh, axis=0)
+    npad = ((N + CH - 1) // CH) * CH
+    ohp = jnp.pad(oh, ((0, npad - N), (0, 0)))
+    blocks = ohp.reshape(-1, CH, K).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((CH, CH), jnp.float32))
+    within_chunk = jax.lax.dot_general(
+        tri, blocks,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CH, B, K): within_chunk[i, b, k] = sum_{j<=i} blocks[b, j, k]
+    within_chunk = jnp.transpose(within_chunk, (1, 0, 2))
+    tots = blocks.sum(axis=1)  # (B, K)
+    offs = jnp.cumsum(tots, axis=0) - tots  # exclusive chunk offsets
+    out = (within_chunk + offs[:, None, :]).reshape(npad, K)[:N]
+    return out.astype(jnp.int32)
+
+
 def compute_binning(base, G: int) -> Binning:
     """Bin particles by the block of their (clipped) base cell.
 
@@ -87,7 +122,7 @@ def compute_binning(base, G: int) -> Binning:
         )  # (N, nb3) bool
         onehot_i = onehot.astype(jnp.int32)
         counts = jnp.sum(onehot_i, axis=0)
-        within = jnp.cumsum(onehot_i, axis=0)  # inclusive prefix per block
+        within = _prefix_inclusive(onehot_i)  # inclusive prefix per block
         cpad = jnp.maximum((counts + ALIGN - 1) // ALIGN, 1) * ALIGN
         pstart = jnp.concatenate([
             jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)
