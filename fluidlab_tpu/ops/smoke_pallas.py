@@ -182,198 +182,298 @@ def _advect_fwd(vq, dt, D, S, interpret):
     return _advect_impl(vq, dt, D, S, interpret), vq
 
 
-@functools.lru_cache(maxsize=None)
-def _make_advect_bwd_kernel(C: int, R: int, S: int, D: int, dt: float):
-    """Hand-written adjoint of the fused RK3 advection kernel.
+def _bwd_ctx(C, R, S, D):
+    """Shared geometry for the split backward kernels: window half-width
+    w (enough neighbor blocks to cover slab +- 2D rows), extended-slab
+    size E, and the in-window row base of the center block."""
+    w = -(-2 * D // S)  # ceil(2D / S)
+    return w, S + 2 * D, w * S
 
-    The three sample applications transpose to destination-indexed
-    stencils again (d_f(j) += sum_o W(j-o, o) s(j-o): a +o roll of the
-    weighted cotangent, with wrapped lanes killed by the same weight-
-    vanishing argument as the forward), and the weight-derivative
-    chains d_p = sum_o (s . f(i+o)) dW/dp feed back through the RK3
-    stage combination.  Everything is recomputed from vq in-kernel —
-    the custom VJP saves only the primal input.
 
-    Requires S >= 2D (the 3-block x-window must cover slab +- 2D rows
-    for the extended-slab stage recomputation).
-    """
-    assert S >= 2 * D
+def _win_specs(C, R, S, w):
     nblk = R // S
-    E = S + 2 * D
-    offs = tuple(range(-D, D + 1))
-    a1, a2, a3 = 2.0 / 9.0, 1.0 / 3.0, 4.0 / 9.0
 
-    def kernel(xm_ref, x0_ref, xp_ref, gm_ref, g0_ref, gp_ref, out_ref):
-        i = pl.program_id(0)
-        xcat = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
-        gcat = jnp.concatenate([gm_ref[:], g0_ref[:], gp_ref[:]], axis=1)
-        g_e = gcat[:, S - D:S - D + E]
-        xg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 0).astype(
-            jnp.float32
-        ) + (i * S - D).astype(jnp.float32)
-        yg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 1).astype(
-            jnp.float32
-        )
-        zg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 2).astype(
-            jnp.float32
-        )
-        gax = (xg, yg, zg)
-
-        def sample_e(px, py, pz, nch):
-            # forward sample evaluated on the EXTENDED slab rows
-            rels = []
-            for p_ax, g_ax in ((px, xg), (py, yg), (pz, zg)):
-                pI = jnp.clip(p_ax - 0.5, 0.0, float(R - 1))
-                rels.append(jnp.clip(pI - g_ax, float(-D), float(D)))
-            w = [
-                [jnp.maximum(0.0, 1.0 - jnp.abs(rel - o)) for o in offs]
-                for rel in rels
-            ]
-            acc = jnp.zeros((nch, E, R, R), jnp.float32)
-            for oxi, ox in enumerate(offs):
-                sl = xcat[:nch, S - D + ox:S - D + ox + E]
-                for oyi, oy in enumerate(offs):
-                    sly = _roll(sl, -oy, 2)
-                    wxy = w[0][oxi] * w[1][oyi]
-                    for ozi, oz in enumerate(offs):
-                        slz = _roll(sly, -oz, 3)
-                        acc = acc + (wxy * w[2][ozi])[None] * slz
-            return acc
-
-        cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
-        v1 = xcat[0:3, S - D:S - D + E]
-        p1 = (cx - 0.5 * dt * v1[0], cy - 0.5 * dt * v1[1],
-              cz - 0.5 * dt * v1[2])
-        v2 = sample_e(*p1, 3)
-        p2 = (cx - 0.75 * dt * v2[0], cy - 0.75 * dt * v2[1],
-              cz - 0.75 * dt * v2[2])
-        v3 = sample_e(*p2, 3)
-        b = (cx - dt * (a1 * v1[0] + a2 * v2[0] + a3 * v3[0]),
-             cy - dt * (a1 * v1[1] + a2 * v2[1] + a3 * v3[1]),
-             cz - dt * (a1 * v1[2] + a2 * v2[2] + a3 * v3[2]))
-
-        def weights(p3):
-            w, dw = [], []
-            for p_ax, g_ax in zip(p3, gax):
-                x = p_ax - 0.5
-                pI = jnp.clip(x, 0.0, float(R - 1))
-                raw = pI - g_ax
-                rel = jnp.clip(raw, float(-D), float(D))
-                mask = (
-                    (x > 0.0) & (x < float(R - 1))
-                    & (raw > float(-D)) & (raw < float(D))
-                ).astype(jnp.float32)
-                wa, dwa = [], []
-                for o in offs:
-                    t = rel - o
-                    wa.append(jnp.maximum(0.0, 1.0 - jnp.abs(t)))
-                    dwa.append(
-                        jnp.where(
-                            jnp.abs(t) < 1.0, -jnp.sign(t), 0.0
-                        ) * mask
-                    )
-                w.append(wa)
-                dw.append(dwa)
-            return w, dw
-
-        # x-destination validity: the transpose sums contributions from
-        # forward-destination rows i = j - ox; at the global x edges
-        # those rows fall outside [0, R) but the clamped neighbor blocks
-        # hold duplicate (non-edge) data with NON-vanishing recomputed
-        # weights, so they must be masked.  (y/z wrap is safe: rolled
-        # rows are real destinations whose weight for that offset
-        # vanishes.)
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0) + i * S
-
-        def dest_mask(ox):
-            gi = jrow - ox
-            return ((gi >= 0) & (gi <= R - 1)).astype(jnp.float32)
-
-        def adj_pass(w, dw, scot, nch):
-            """Transpose-stencil contribution (nch, S, R, R) to the out
-            slab + position cotangent d_p (3 x (E, R, R))."""
-            acc = jnp.zeros((nch, S, R, R), jnp.float32)
-            dpx = jnp.zeros((E, R, R), jnp.float32)
-            dpy = jnp.zeros((E, R, R), jnp.float32)
-            dpz = jnp.zeros((E, R, R), jnp.float32)
-            for oxi, ox in enumerate(offs):
-                src = xcat[:nch, S - D + ox:S - D + ox + E]
-                mx = dest_mask(ox)[None]
-                for oyi, oy in enumerate(offs):
-                    srcy = _roll(src, -oy, 2)
-                    wxy = w[0][oxi] * w[1][oyi]
-                    dwx_wy = dw[0][oxi] * w[1][oyi]
-                    wx_dwy = w[0][oxi] * dw[1][oyi]
-                    for ozi, oz in enumerate(offs):
-                        srcz = _roll(srcy, -oz, 3)
-                        w3 = wxy * w[2][ozi]
-                        # transpose: out(j) += w3(j-o) scot(j-o)
-                        t = w3[None] * scot
-                        t = t[:, D - ox:D - ox + S]
-                        t = _roll(t, oy, 2)
-                        t = _roll(t, oz, 3)
-                        acc = acc + mx * t
-                        # position chain: d_p(i) += (scot . f(i+o)) dW
-                        sdot = jnp.sum(scot * srcz, axis=0)
-                        dpx = dpx + sdot * (dwx_wy * w[2][ozi])
-                        dpy = dpy + sdot * (wx_dwy * w[2][ozi])
-                        dpz = dpz + sdot * (wxy * dw[2][ozi])
-            return acc, (dpx, dpy, dpz)
-
-        wb, dwb = weights(b)
-        accA, db = adj_pass(wb, dwb, g_e, C)
-        d_v3 = tuple((-dt * a3) * d for d in db)
-        wp2, dwp2 = weights(p2)
-        accB, dp2 = adj_pass(wp2, dwp2, jnp.stack(d_v3), 3)
-        d_v2 = tuple(
-            (-dt * a2) * d - (0.75 * dt) * e for d, e in zip(db, dp2)
-        )
-        wp1, dwp1 = weights(p1)
-        accC, dp1 = adj_pass(wp1, dwp1, jnp.stack(d_v2), 3)
-        d_v1 = jnp.stack([
-            (-dt * a1) * d - (0.5 * dt) * e for d, e in zip(db, dp1)
-        ])
-        out_ref[0:3] = (
-            accA[0:3] + accB + accC + d_v1[:, D:D + S]
-        )
-        if C > 3:
-            out_ref[3:] = accA[3:]
-
-    def mk_index(e):
+    def mk(e):
         def index(i):
             return (0, jnp.clip(i + e, 0, nblk - 1), 0, 0)
 
         return index
 
-    def run(vq, g):
+    return [pl.BlockSpec((C, S, R, R), mk(e)) for e in range(-w, w + 1)]
+
+
+def _ext_iotas(i, R, S, E, D):
+    xg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 0).astype(
+        jnp.float32
+    ) + (i * S - D).astype(jnp.float32)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 1).astype(jnp.float32)
+    zg = jax.lax.broadcasted_iota(jnp.int32, (E, R, R), 2).astype(jnp.float32)
+    return xg, yg, zg
+
+
+def _tent_weights(p3, gax, offs, R, D, with_grad):
+    """Per-axis tent weights (and optionally derivative factors) of the
+    clamped-stencil trilerp at the given positions."""
+    w, dw = [], []
+    for p_ax, g_ax in zip(p3, gax):
+        x = p_ax - 0.5
+        pI = jnp.clip(x, 0.0, float(R - 1))
+        raw = pI - g_ax
+        rel = jnp.clip(raw, float(-D), float(D))
+        if with_grad:
+            mask = (
+                (x > 0.0) & (x < float(R - 1))
+                & (raw > float(-D)) & (raw < float(D))
+            ).astype(jnp.float32)
+        wa, dwa = [], []
+        for o in offs:
+            t = rel - o
+            wa.append(jnp.maximum(0.0, 1.0 - jnp.abs(t)))
+            if with_grad:
+                dwa.append(
+                    jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0) * mask
+                )
+        w.append(wa)
+        dw.append(dwa)
+    return (w, dw) if with_grad else w
+
+
+def _sample_rows(xcat, row0, w3, offs, nch, E):
+    """Forward stencil sample over E rows; xcat rows [row0+ox, +E)."""
+    acc = jnp.zeros((nch, E,) + xcat.shape[2:], jnp.float32)
+    for oxi, ox in enumerate(offs):
+        sl = xcat[:nch, row0 + ox:row0 + ox + E]
+        for oyi, oy in enumerate(offs):
+            sly = _roll(sl, -oy, 2)
+            wxy = w3[0][oxi] * w3[1][oyi]
+            for ozi, oz in enumerate(offs):
+                slz = _roll(sly, -oz, 3)
+                acc = acc + (wxy * w3[2][ozi])[None] * slz
+    return acc
+
+
+_A1, _A2, _A3 = 2.0 / 9.0, 1.0 / 3.0, 4.0 / 9.0
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_stages_kernel(C: int, R: int, S: int, D: int, dt: float):
+    """K0: recompute the RK3 stage fields v2, v3 at core rows."""
+    w, E, W0 = _bwd_ctx(C, R, S, D)
+    offs = tuple(range(-D, D + 1))
+    nblk = R // S
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        i = pl.program_id(0)
+        xcat = jnp.concatenate([r[:] for r in refs[:-1]], axis=1)
+        xg, yg, zg = _ext_iotas(i, R, S, E, D)
+        gax = (xg, yg, zg)
+        cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
+        v1 = xcat[0:3, W0 - D:W0 - D + E]
+        p1 = (cx - 0.5 * dt * v1[0], cy - 0.5 * dt * v1[1],
+              cz - 0.5 * dt * v1[2])
+        w1 = _tent_weights(p1, gax, offs, R, D, False)
+        v2 = _sample_rows(xcat, W0 - D, w1, offs, 3, E)
+        p2 = (cx - 0.75 * dt * v2[0], cy - 0.75 * dt * v2[1],
+              cz - 0.75 * dt * v2[2])
+        w2 = _tent_weights(p2, gax, offs, R, D, False)
+        v3 = _sample_rows(xcat, W0 - D, w2, offs, 3, E)
+        out_ref[0:3] = v2[:, D:D + S]
+        out_ref[3:6] = v3[:, D:D + S]
+
+    def run(vq):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((C, R, R, R), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((6, R, R, R), jnp.float32),
             grid=(nblk,),
-            in_specs=[
-                pl.BlockSpec((C, S, R, R), mk_index(e)) for e in (-1, 0, 1)
-            ] * 2,
-            out_specs=pl.BlockSpec((C, S, R, R), lambda i: (0, i, 0, 0)),
+            in_specs=_win_specs(C, R, S, w),
+            out_specs=pl.BlockSpec((6, S, R, R), lambda i: (0, i, 0, 0)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024
             ),
-        )(vq, vq, vq, g, g, g)
+        )(*([vq] * (2 * w + 1)))
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_pass_kernel(C: int, R: int, S: int, D: int, dt: float,
+                          which: str):
+    """One adjoint pass of the RK3 advection:
+
+    - 'A': weights from b; scot = g (C ch); src = vq.
+      outputs acc (C, S, .) and d_b (3, S, .)
+    - 'B': weights from p2; scot = -dt*a3*db (3 ch); src = v.
+      outputs acc (3) and d_p2 (3)
+    - 'C': weights from p1; scot = d_v2 = -dt*a2*db - 0.75dt*dp2;
+      src = v.  outputs acc (3) and d_v1 (3) (finalized: includes the
+      center -dt*a1*db - 0.5dt*dp1 term)
+
+    Each transpose sums contributions from forward-destination rows
+    i = j - ox; at global x edges those rows are phantom (the clamped
+    neighbor blocks hold duplicate data with NON-vanishing recomputed
+    weights) and must be masked; y/z roll wrap is safe (real rows whose
+    weight for that offset vanishes).
+    """
+    w, E, W0 = _bwd_ctx(C, R, S, D)
+    offs = tuple(range(-D, D + 1))
+    nblk = R // S
+    nwin = 2 * w + 1
+    nch = C if which == "A" else 3
+
+    def kernel(*refs):
+        out_acc, out_dp = refs[-2], refs[-1]
+        i = pl.program_id(0)
+        vq_refs = refs[:nwin]
+        xcat = jnp.concatenate([r[:] for r in vq_refs], axis=1)
+        xg, yg, zg = _ext_iotas(i, R, S, E, D)
+        gax = (xg, yg, zg)
+        cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
+        v1 = xcat[0:3, W0 - D:W0 - D + E]
+
+        if which == "A":
+            gcat = jnp.concatenate(
+                [r[:] for r in refs[nwin:2 * nwin]], axis=1
+            )
+            stcat = jnp.concatenate(
+                [r[:] for r in refs[2 * nwin:3 * nwin]], axis=1
+            )
+            st = stcat[:, W0 - D:W0 - D + E]
+            v2, v3 = st[0:3], st[3:6]
+            pos = (
+                cx - dt * (_A1 * v1[0] + _A2 * v2[0] + _A3 * v3[0]),
+                cy - dt * (_A1 * v1[1] + _A2 * v2[1] + _A3 * v3[1]),
+                cz - dt * (_A1 * v1[2] + _A2 * v2[2] + _A3 * v3[2]),
+            )
+            scot = gcat[:, W0 - D:W0 - D + E]
+        elif which == "B":
+            stcat = jnp.concatenate(
+                [r[:] for r in refs[nwin:2 * nwin]], axis=1
+            )
+            dbcat = jnp.concatenate(
+                [r[:] for r in refs[2 * nwin:3 * nwin]], axis=1
+            )
+            v2 = stcat[0:3, W0 - D:W0 - D + E]
+            pos = (cx - 0.75 * dt * v2[0], cy - 0.75 * dt * v2[1],
+                   cz - 0.75 * dt * v2[2])
+            scot = (-dt * _A3) * dbcat[:, W0 - D:W0 - D + E]
+        else:
+            dbcat = jnp.concatenate(
+                [r[:] for r in refs[nwin:2 * nwin]], axis=1
+            )
+            dp2cat = jnp.concatenate(
+                [r[:] for r in refs[2 * nwin:3 * nwin]], axis=1
+            )
+            pos = (cx - 0.5 * dt * v1[0], cy - 0.5 * dt * v1[1],
+                   cz - 0.5 * dt * v1[2])
+            db_e = dbcat[:, W0 - D:W0 - D + E]
+            scot = (
+                (-dt * _A2) * db_e
+                - (0.75 * dt) * dp2cat[:, W0 - D:W0 - D + E]
+            )
+
+        wt, dwt = _tent_weights(pos, gax, offs, R, D, True)
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0) + i * S
+
+        acc = jnp.zeros((nch, S, R, R), jnp.float32)
+        dpx = jnp.zeros((E, R, R), jnp.float32)
+        dpy = jnp.zeros((E, R, R), jnp.float32)
+        dpz = jnp.zeros((E, R, R), jnp.float32)
+        for oxi, ox in enumerate(offs):
+            src = xcat[:nch, W0 - D + ox:W0 - D + ox + E]
+            gi = jrow - ox
+            mx = ((gi >= 0) & (gi <= R - 1)).astype(jnp.float32)[None]
+            for oyi, oy in enumerate(offs):
+                srcy = _roll(src, -oy, 2)
+                wxy = wt[0][oxi] * wt[1][oyi]
+                dwx_wy = dwt[0][oxi] * wt[1][oyi]
+                wx_dwy = wt[0][oxi] * dwt[1][oyi]
+                for ozi, oz in enumerate(offs):
+                    srcz = _roll(srcy, -oz, 3)
+                    w3 = wxy * wt[2][ozi]
+                    t = (w3[None] * scot)[:, D - ox:D - ox + S]
+                    t = _roll(t, oy, 2)
+                    t = _roll(t, oz, 3)
+                    acc = acc + mx * t
+                    sdot = jnp.sum(scot * srcz, axis=0)
+                    dpx = dpx + sdot * (dwx_wy * wt[2][ozi])
+                    dpy = dpy + sdot * (wx_dwy * wt[2][ozi])
+                    dpz = dpz + sdot * (wxy * dwt[2][ozi])
+        dp = jnp.stack([dpx, dpy, dpz])[:, D:D + S]
+        out_acc[...] = acc
+        if which == "C":
+            # finalize d_v1 = -dt a1 db - 0.5 dt dp1 at core rows
+            out_dp[...] = (
+                (-dt * _A1) * dbcat[:, W0:W0 + S] - (0.5 * dt) * dp
+            )
+        else:
+            out_dp[...] = dp
+
+    def run(vq, *extras):
+        # extras: A -> (g, stages); B -> (stages, db); C -> (db, dp2)
+        args = [vq] * nwin
+        for e in extras:
+            args += [e] * nwin
+        in_specs = _win_specs(C, R, S, w)
+        for e in extras:
+            in_specs += _win_specs(e.shape[0], R, S, w)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((nch, R, R, R), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, R, R), jnp.float32),
+            ),
+            grid=(nblk,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((nch, S, R, R), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((3, S, R, R), lambda i: (0, i, 0, 0)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+        )(*args)
+
+    return run
+
+
+def _advect_bwd_kernel_impl(vq, g, dt, D, S_bwd, interpret):
+    C, R = vq.shape[0], vq.shape[1]
+    stages = _make_bwd_stages_kernel(C, R, S_bwd, D, dt)
+    pA = _make_bwd_pass_kernel(C, R, S_bwd, D, dt, "A")
+    pB = _make_bwd_pass_kernel(C, R, S_bwd, D, dt, "B")
+    pC = _make_bwd_pass_kernel(C, R, S_bwd, D, dt, "C")
+
+    def go():
+        st = stages(vq)
+        accA, db = pA(vq, g, st)
+        accB, dp2 = pB(vq, st, db)
+        accC, dv1 = pC(vq, db, dp2)
+        dv = accA[0:3] + accB + accC + dv1
+        if C > 3:
+            return jnp.concatenate([dv, accA[3:]], axis=0)
+        return dv
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return go()
+    return go()
 
 
 def _advect_bwd(dt, D, S, interpret, vq, g):
     import os
 
-    if os.environ.get("FL_SMOKE_BWD", "kernel") != "kernel" or S < 2 * D:
+    mode = os.environ.get("FL_SMOKE_BWD", "kernel")
+    R = vq.shape[1]
+    # backward slab: smaller than the forward's (the adjoint pass holds
+    # ~3x the live temporaries); any S_bwd works via the parametric
+    # window w = ceil(2D / S_bwd).
+    s_env = os.environ.get("FL_SMOKE_BWD_S")
+    S_bwd = int(s_env) if s_env else max(1, S // 2)
+    if mode != "kernel" or R % S_bwd != 0:
         _, vjp = jax.vjp(lambda a: _advect_ref(a, dt, D), vq)
         return (vjp(g)[0],)
-    C, R = vq.shape[0], vq.shape[1]
-    run = _make_advect_bwd_kernel(C, R, S, D, dt)
-    if interpret:
-        with pltpu.force_tpu_interpret_mode():
-            return (run(vq, g),)
-    return (run(vq, g),)
+    return (_advect_bwd_kernel_impl(vq, g, dt, D, S_bwd, interpret),)
 
 
 advect_rk3.defvjp(_advect_fwd, _advect_bwd)

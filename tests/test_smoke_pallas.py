@@ -33,7 +33,11 @@ class TestAdvectKernel:
         )(vq)
         np.testing.assert_allclose(out_k, out_r, rtol=2e-5, atol=2e-5)
 
-    def test_grad_matches_ref(self):
+    @pytest.mark.parametrize("s_bwd", ["1", "4"])
+    def test_grad_matches_ref(self, s_bwd, monkeypatch):
+        # s_bwd sweeps the split-backward slab (window w = ceil(2D/S)):
+        # 1 -> 9-block windows, 4 -> 3-block windows
+        monkeypatch.setenv("FL_SMOKE_BWD_S", s_bwd)
         rng = np.random.RandomState(6)
         vq = _rand_field(rng, 4, self.R)
         w = _rand_field(rng, 4, self.R)
