@@ -16,6 +16,9 @@ TRIES="${TRIES:-8}"
 
 for attempt in $(seq 1 "$TRIES"); do
     echo "=== attempt $attempt: $* ===" >> "$LOG"
+    # only grep lines appended by THIS attempt (a marker from a previous
+    # attempt in the shared log must not mark the new process alive)
+    base_lines=$(wc -l < "$LOG")
     "$@" >> "$LOG" 2>&1 &
     pid=$!
     t0=$(date +%s)
@@ -23,7 +26,7 @@ for attempt in $(seq 1 "$TRIES"); do
     while kill -0 "$pid" 2>/dev/null; do
         now=$(date +%s)
         el=$((now - t0))
-        if [ "$alive" = 0 ] && grep -q "$MARKER" "$LOG"; then
+        if [ "$alive" = 0 ] && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
             alive=1
             echo "=== attempt $attempt: backend up after ${el}s ===" >> "$LOG"
         fi
