@@ -161,3 +161,44 @@ class TestSVD3:
         U1, s1, V1 = jax.jit(svd3.svd3)(A)
         U2, s2, V2 = jax.vmap(svd3.svd3)(A)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+class TestLiquidJCbrt:
+    """liquid_J_cbrt (closed-form det/cbrt VJP, core/mat3.py) vs XLA AD
+    of the explicit composition."""
+
+    def test_fwd_and_grad_match_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fluidlab_tpu.core.mat3 import det_soa, eye_soa, liquid_J_cbrt
+
+        rng = np.random.RandomState(2)
+        N, dt = 128, 2e-4
+        c = jnp.asarray(rng.uniform(0.9, 1.1, N), jnp.float32)
+        C = jnp.asarray(rng.normal(0.0, 3.0, (9, N)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=N), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=N), jnp.float32)
+
+        def ref(c_, C_):
+            J = c_ ** 3 * det_soa(eye_soa(N) + dt * C_)
+            return J, jnp.cbrt(J)
+
+        J1, K1 = jax.jit(lambda a, b: liquid_J_cbrt(a, b, dt))(c, C)
+        J0, K0 = ref(c, C)
+        np.testing.assert_allclose(J1, J0, rtol=1e-6)
+        np.testing.assert_allclose(K1, K0, rtol=1e-6)
+
+        def lk(a, b):
+            J, K = liquid_J_cbrt(a, b, dt)
+            return jnp.sum(w1 * J + w2 * K)
+
+        def lr(a, b):
+            J, K = ref(a, b)
+            return jnp.sum(w1 * J + w2 * K)
+
+        gk = jax.jit(jax.grad(lk, argnums=(0, 1)))(c, C)
+        gr = jax.jit(jax.grad(lr, argnums=(0, 1)))(c, C)
+        np.testing.assert_allclose(gk[0], gr[0], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(gk[1], gr[1], rtol=1e-5, atol=1e-7)
