@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
+from fluidlab_tpu.ops.masks import acc_dot as _masks_acc_dot
+from fluidlab_tpu.ops.masks import grad_dot_mode as _grad_dot_mode
+
+
+def _acc_dot(a, b, dims):
+    # backward-kernel dots run at the FL_GRAD_DOT strategy
+    return _masks_acc_dot(a, b, dims, mode=_grad_dot_mode())
 from fluidlab_tpu.ops.binning import (
     ALIGN,
     BLOCK,

@@ -230,12 +230,27 @@ def acc_dot_mode():
     return mode
 
 
-def acc_dot(lhs, rhs, dimension_numbers):
-    """Accumulate-class dot_general with the FL_ACC_DOT strategy."""
+@functools.lru_cache(maxsize=None)
+def grad_dot_mode():
+    """FL_GRAD_DOT: precision strategy for BACKWARD-kernel accumulate
+    dots (the merged moment-backward and d_vregions contractions — 5.7
+    of 13.0 ms/substep fwd+bwd at '3x', RESULTS.md r2 trace).  Gradients
+    feed Adam, which tolerates far more relative noise than the primal
+    state integrated over 3300 substeps, so '1x' (single bf16 pass,
+    ~1e-3 relative gradient error) is a candidate default pending the
+    LatteArt-solve convergence check.  Unset -> same as FL_ACC_DOT."""
+    mode = _os.environ.get("FL_GRAD_DOT")
+    return acc_dot_mode() if mode is None else mode
+
+
+def acc_dot(lhs, rhs, dimension_numbers, mode=None):
+    """Accumulate-class dot_general with the FL_ACC_DOT strategy (or an
+    explicit ``mode`` override — backward kernels pass grad_dot_mode())."""
     import jax
     import jax.numpy as jnp
 
-    mode = acc_dot_mode()
+    if mode is None:
+        mode = acc_dot_mode()
     if mode == "3x":
         # Mosaic rejects bf16 operands with an f32 accumulator ("Bad
         # lhs type"), so the bf16x2 split stays in f32: operands are

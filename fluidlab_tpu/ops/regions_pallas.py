@@ -30,7 +30,7 @@ All shifts are ``pltpu.roll`` + iota masks: region rows are ab-major
 row roll by 16 (cross-a bleed masked), and a z-shift a lane roll by
 16*4 in the interleaved columns.
 
-Reference: this replaces the grid assembly半 implied by the reference's
+Reference: this replaces the grid assembly implied by the reference's
 global Taichi grid (reference mpm_simulator.py:380-426); the physics is
 identical, only the storage schedule differs.
 """
@@ -119,7 +119,7 @@ def _mm_t(a, b):
 @functools.lru_cache(maxsize=None)
 def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                              scale: float, select_out: bool,
-                             use_mxu: bool):
+                             use_mxu: bool, grad: bool = False):
     """Chunk-grid P2G accumulate kernel (ops/p2g_pallas.py structure)
     whose epilogue applies the per-cell affine combine:
 
@@ -143,6 +143,16 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
     r2pad = _r2pad(m)
     wcols = region * CPAD
     n_out = n_mom + (1 if has_mass else 0)
+
+    from fluidlab_tpu.ops.masks import acc_dot as _adot
+    from fluidlab_tpu.ops.masks import grad_dot_mode as _gmode
+
+    def _adotk(a, b, dims):
+        # grad builders (d_vregions) run their dots at FL_GRAD_DOT
+        return _adot(a, b, dims, mode=_gmode() if grad else None)
+
+    def _mmk(a, b):
+        return _adotk(a, b, (((1,), (0,)), ((), ())))
 
     def kernel(c2b_ref, packed_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
@@ -173,7 +183,7 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                 mm_ew(make_ew(jcol, wvals[0], pk[:, 9:10]), cm[0:128])
                 * mm_ew(make_ew(jcol, wvals[1], pk[:, 10:11]), cm[128:256])
             )
-            feats_tiled = _mm(fvals, mzw[128:128 + CPAD])
+            feats_tiled = _mmk(fvals, mzw[128:128 + CPAD])
             W2 = mm_ew(
                 make_ew(jcol, wvals[2], pk[:, 11:12]), mzw[0:128]
             ) * feats_tiled
@@ -193,12 +203,10 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                 * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
                 * col_valid
             )
-            feats_tiled = _mm(fvals, p_tile)
+            feats_tiled = _mmk(fvals, p_tile)
             W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        from fluidlab_tpu.ops.masks import acc_dot
-
-        acc_ref[...] += acc_dot(T, W2, (((0,), (0,)), ((), ())))
+        acc_ref[...] += _adotk(T, W2, (((0,), (0,)), ((), ())))
 
         @pl.when(last)
         def _():
@@ -216,8 +224,8 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                     region, r2pad, wcols, n_mom, has_mass, oz, scale
                 )
                 out_ref[0] = (
-                    _mm(acc, S0) + xa * _mm(acc, Sa) + xb * _mm(acc, Sb)
-                    + _mm(acc, Szs)
+                    _mmk(acc, S0) + xa * _mmk(acc, Sa) + xb * _mmk(acc, Sb)
+                    + _mmk(acc, Szs)
                 )
             else:
                 cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 0)
@@ -233,13 +241,13 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                     Szq = (zm & (c_src == 3 + 3 * q + 2)).astype(
                         jnp.float32) * xz
                     Oq = (
-                        _mm(acc, S0q) + xa * _mm(acc, Saq)
-                        + xb * _mm(acc, Sbq) + _mm(acc, Szq)
+                        _mmk(acc, S0q) + xa * _mmk(acc, Saq)
+                        + xb * _mmk(acc, Sbq) + _mmk(acc, Szq)
                     )
                     out_ref[0, q] = Oq[:r2]
                 if has_mass:
                     Sm = (zm & (c_src == 12)).astype(jnp.float32)
-                    out_ref[0, n_mom] = _mm(acc, Sm)[:r2]
+                    out_ref[0, n_mom] = _mmk(acc, Sm)[:r2]
 
     def run(packed, c2b):
         nch = packed.shape[0] // CHUNK
@@ -967,7 +975,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         c2b = chunk_to_block(starts, packed.shape[0])
         npad = packed.shape[0]
         acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
-                                          _use_mxu())
+                                          _use_mxu(), grad=True)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 d_vreg = acc_fn(packed, c2b)
@@ -1112,7 +1120,7 @@ def _g2p_regions_bwd(G, m, presorted, interpret, res, cots):
                      presorted)
     c2b = chunk_to_block(starts, packed.shape[0])
     acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
-                                          _use_mxu())
+                                          _use_mxu(), grad=True)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             d_vreg = acc_fn(packed, c2b)

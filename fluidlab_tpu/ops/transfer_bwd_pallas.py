@@ -42,7 +42,14 @@ import os as _os
 from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
 from fluidlab_tpu.ops.g2p_pallas import RCOLS, _build_regions
 from fluidlab_tpu.ops.p2g_pallas import _r2pad, _region
-from fluidlab_tpu.ops.masks import acc_dot as _acc_dot
+from fluidlab_tpu.ops.masks import acc_dot as _masks_acc_dot
+from fluidlab_tpu.ops.masks import grad_dot_mode as _grad_dot_mode
+
+
+def _acc_dot(a, b, dims):
+    # backward-kernel dots run at the FL_GRAD_DOT strategy (gradients
+    # tolerate more relative noise than primal state; RESULTS.md r2)
+    return _masks_acc_dot(a, b, dims, mode=_grad_dot_mode())
 
 CHUNK = ALIGN
 PACKB = 128  # packed row: w(9) lb(3) feats(C<=16)

@@ -275,6 +275,16 @@ def main():
             os.environ["FL_TRILERP"] = tl
             smoke_run(f"smoke/tl:{tl}")
             del os.environ["FL_TRILERP"]
+    for gd in os.environ.get("FL_BATCH_GRADDOT", "").split(","):
+        # FL_GRAD_DOT sweep: backward-kernel dot strategy (lru-cached,
+        # read lazily at kernel trace time — clear + fresh jit retraces)
+        if gd and want(f"graddot:{gd}"):
+            from fluidlab_tpu.ops.masks import grad_dot_mode
+            os.environ["FL_GRAD_DOT"] = gd
+            grad_dot_mode.cache_clear()
+            grad_run(f"grad/graddot:{gd}", 0)
+            del os.environ["FL_GRAD_DOT"]
+            grad_dot_mode.cache_clear()
     for im in os.environ.get("FL_BATCH_SMOKEIMPL", "").split(","):
         # FL_SMOKE_IMPL sweep: pallas (fused advection + VMEM Jacobi
         # kernels) vs xla (stencil fusions + scanned Jacobi).
