@@ -97,7 +97,7 @@ class FluidEnv(gym.Env):
         pass
 
     def setup_renderer(self):
-        self.sim.setup_renderer()
+        self.sim.setup_renderer(kind=self.renderer_type)
 
     def setup_loss(self):
         pass

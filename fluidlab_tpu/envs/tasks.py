@@ -92,6 +92,7 @@ class LatteArtEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             res=(960, 960), camera_pos=(-0.15, 2.82, 2.5),
             camera_lookat=(0.5, 0.5, 0.5), fov=30,
         )
@@ -205,6 +206,7 @@ class LatteArtStirEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(-0.15, 2.82, 2.5), camera_lookat=(0.5, 0.5, 0.5), fov=30
         )
 
@@ -301,6 +303,7 @@ class PouringEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(0.5, 0.6, 3.5), camera_lookat=(0.5, 0.6, 0.5), fov=26
         )
 
@@ -404,6 +407,7 @@ class GatheringEasyEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(-0.15, 2.82, 2.5), camera_lookat=(0.5, 0.5, 0.5), fov=30
         )
 
@@ -543,6 +547,7 @@ class IceCreamDynamicEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             res=(960, 960), camera_pos=(3.96, 1.72, 3.99),
             camera_lookat=(3.24, 1.53, 3.32), fov=30,
         )
@@ -662,6 +667,7 @@ class IceCreamStaticEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(4.48, 2.41, -0.84), camera_lookat=(3.64, 1.95, -0.56),
             fov=15,
         )
@@ -777,6 +783,7 @@ class TransportingEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(0.5, 0.5, 3.0), camera_lookat=(0.5, 0.5, 0.5), fov=22
         )
 
@@ -868,6 +875,7 @@ class MixingEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(-0.15, 2.82, 2.5), camera_lookat=(0.5, 0.5, 0.5), fov=30
         )
 
@@ -957,6 +965,7 @@ class CirculationEnv(FluidEnv):
 
     def setup_renderer(self):
         self.sim.setup_renderer(
+            kind=self.renderer_type,
             camera_pos=(0.5, 12.0, 0.501), camera_lookat=(0.5, 0.5, 0.5), fov=5
         )
 

@@ -54,7 +54,8 @@ def main():
     cfg = load_config(args.cfg)
     seed = args.seed if args.seed is not None else cfg["EXP"]["seed"]
 
-    env_kwargs = dict(seed=seed, loss_type=args.loss_type)
+    env_kwargs = dict(seed=seed, loss_type=args.loss_type,
+                      renderer_type=args.renderer)
     if args.particle_density is not None:
         env_kwargs["particle_density"] = args.particle_density
 

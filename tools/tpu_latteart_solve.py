@@ -40,7 +40,7 @@ print(f"target recorded ({time.time()-t0:.0f}s)", flush=True)
 
 env2 = SmallLatte(loss=True, seed=0)
 solver = Solver(env2, cfg=dict(
-    n_iters=3,
+    n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
     init_range=dict(v=((0.,0.,0.),(0.,0.,0.)), p=((0.15,0.65,0.5),(0.15,0.65,0.5))),
     optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
 ))
