@@ -236,11 +236,21 @@ def grad_dot_mode():
     dots (the merged moment-backward and d_vregions contractions — 5.7
     of 13.0 ms/substep fwd+bwd at '3x', RESULTS.md r2 trace).  Gradients
     feed Adam, which tolerates far more relative noise than the primal
-    state integrated over 3300 substeps, so '1x' (single bf16 pass,
-    ~1e-3 relative gradient error) is a candidate default pending the
-    LatteArt-solve convergence check.  Unset -> same as FL_ACC_DOT."""
+    state integrated over 3300 substeps.
+
+    DEFAULT (env unset): '1x' (single bf16 pass) on TPU — measured
+    fwd+bwd 10.28 vs 12.98 ms/substep @65k, with the LatteArt solve
+    loss course within 0.1% of the f32 course over 6 iterations and
+    12.92 vs 15.55 s/iter (RESULTS.md r2); elsewhere same as
+    FL_ACC_DOT.  Set FL_GRAD_DOT=3x to restore bf16x2 gradients."""
+    import jax
+
     mode = _os.environ.get("FL_GRAD_DOT")
-    return acc_dot_mode() if mode is None else mode
+    if mode is None:
+        if _os.environ.get("FL_ACC_DOT") or _os.environ.get("FL_DOT_PREC"):
+            return acc_dot_mode()
+        return "1x" if jax.default_backend() == "tpu" else acc_dot_mode()
+    return mode
 
 
 def acc_dot(lhs, rhs, dimension_numbers, mode=None):
