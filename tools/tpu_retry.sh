@@ -46,6 +46,11 @@ for attempt in $(seq 1 "$TRIES"); do
     done
     wait "$pid" 2>/dev/null
     rc=$?
+    # re-check after exit: a fast job can print its marker and exit
+    # within one 10s poll window
+    if [ "$alive" = 0 ] && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
+        alive=1
+    fi
     if [ "$alive" = 1 ]; then
         echo "=== attempt $attempt: exited rc=$rc ===" >> "$LOG"
         exit "$rc"
