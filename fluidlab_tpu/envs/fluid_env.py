@@ -176,11 +176,15 @@ class FluidEnv(gym.Env):
             )
 
             if display_available():
-                if getattr(self, "_viewer", None) is None:
-                    self._viewer = InteractiveViewer(
-                        self.sim.renderer, self.sim
-                    )
-                self._viewer.draw()
+                try:
+                    if getattr(self, "_viewer", None) is None:
+                        self._viewer = InteractiveViewer(
+                            self.sim.renderer, self.sim
+                        )
+                    self._viewer.draw(frame)
+                except Exception:
+                    # missing GUI backend etc. — degrade to rgb_array
+                    self._viewer = None
         return frame
 
     @property

@@ -70,32 +70,11 @@ def _advect_ref(vq, dt: float, D: int):
 @functools.lru_cache(maxsize=None)
 def _make_advect_kernel(C: int, R: int, S: int, D: int, dt: float):
     """One x-slab program: inputs are the (C, S, R, R) x-neighbor blocks
-    i-1, i, i+1 of the channel-major field; output is the advected slab."""
+    i-1, i, i+1 of the channel-major field; output is the advected slab.
+    The 3-block window covers slab +- D source rows, so S >= D."""
+    assert S >= D, f"advect slab S={S} must cover the stencil D={D}"
     nblk = R // S
     offs = tuple(range(-D, D + 1))
-
-    def sample(xcat, px, py, pz, xg, yg, zg, nch):
-        # xcat: (C, 3S, R, R) rows [(i-1)S, (i+2)S); p*: (S,R,R) positions
-        # (cell units, centers at idx + 0.5).  Destination row r reads
-        # global x = i*S + r + ox -> xcat row S + r + ox.
-        rels = []
-        for p_ax, g_ax in ((px, xg), (py, yg), (pz, zg)):
-            pI = jnp.clip(p_ax - 0.5, 0.0, float(R - 1))
-            rels.append(jnp.clip(pI - g_ax, float(-D), float(D)))
-        w = [
-            [jnp.maximum(0.0, 1.0 - jnp.abs(rel - o)) for o in offs]
-            for rel in rels
-        ]
-        acc = jnp.zeros((nch, S, R, R), jnp.float32)
-        for oxi, ox in enumerate(offs):
-            sl = xcat[:nch, S + ox:2 * S + ox]
-            for oyi, oy in enumerate(offs):
-                sly = _roll(sl, -oy, 2)
-                wxy = w[0][oxi] * w[1][oyi]
-                for ozi, oz in enumerate(offs):
-                    slz = _roll(sly, -oz, 3)
-                    acc = acc + (wxy * w[2][ozi])[None] * slz
-        return acc
 
     def kernel(xm_ref, x0_ref, xp_ref, out_ref):
         i = pl.program_id(0)
@@ -109,29 +88,32 @@ def _make_advect_kernel(C: int, R: int, S: int, D: int, dt: float):
         zg = jax.lax.broadcasted_iota(jnp.int32, (S, R, R), 2).astype(
             jnp.float32
         )
+        gax = (xg, yg, zg)
         xcat = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
+
+        def sample(p3, nch):
+            # destination row r reads global x = i*S + r + ox
+            # -> xcat row S + r + ox
+            w3 = _tent_weights(p3, gax, offs, R, D, False)
+            return _sample_rows(xcat, S, w3, offs, nch, S)
+
         cx, cy, cz = xg + 0.5, yg + 0.5, zg + 0.5
         v1x, v1y, v1z = x0_ref[0], x0_ref[1], x0_ref[2]
         # stage 1 sample elided: positions are the cell centers
         v2 = sample(
-            xcat,
-            cx - 0.5 * dt * v1x,
-            cy - 0.5 * dt * v1y,
-            cz - 0.5 * dt * v1z,
-            xg, yg, zg, 3,
+            (cx - 0.5 * dt * v1x, cy - 0.5 * dt * v1y, cz - 0.5 * dt * v1z),
+            3,
         )
         v3 = sample(
-            xcat,
-            cx - 0.75 * dt * v2[0],
-            cy - 0.75 * dt * v2[1],
-            cz - 0.75 * dt * v2[2],
-            xg, yg, zg, 3,
+            (cx - 0.75 * dt * v2[0], cy - 0.75 * dt * v2[1],
+             cz - 0.75 * dt * v2[2]),
+            3,
         )
         c23, c13, c49 = 2.0 / 9.0, 1.0 / 3.0, 4.0 / 9.0
         bx = cx - dt * (c23 * v1x + c13 * v2[0] + c49 * v3[0])
         by = cy - dt * (c23 * v1y + c13 * v2[1] + c49 * v3[1])
         bz = cz - dt * (c23 * v1z + c13 * v2[2] + c49 * v3[2])
-        out_ref[:] = sample(xcat, bx, by, bz, xg, yg, zg, C)
+        out_ref[:] = sample((bx, by, bz), C)
 
     def mk_index(e):
         def index(i):

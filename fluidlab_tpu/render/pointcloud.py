@@ -39,6 +39,16 @@ class PointRenderer:
         if sim.particles is not None:
             self.colors = sim.particles["color"][:, :3].astype(np.float32)
 
+    def set_camera(self, pos=None, lookat=None, fov=None):
+        """Update the camera between frames (InteractiveViewer orbit —
+        mirrors NativeRenderer.set_camera)."""
+        if pos is not None:
+            self.camera_pos = np.asarray(pos, np.float64)
+        if lookat is not None:
+            self.camera_lookat = np.asarray(lookat, np.float64)
+        if fov is not None:
+            self.fov = float(fov)
+
     def _view_matrix(self):
         fwd = self.camera_lookat - self.camera_pos
         fwd = fwd / np.linalg.norm(fwd)

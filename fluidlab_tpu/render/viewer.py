@@ -64,7 +64,10 @@ class InteractiveViewer:
             )
         import matplotlib
 
-        matplotlib.use("TkAgg")
+        try:
+            matplotlib.use("TkAgg")
+        except Exception:
+            pass  # fall back to whatever interactive backend exists
         import matplotlib.pyplot as plt
 
         self.renderer = renderer
@@ -115,10 +118,14 @@ class InteractiveViewer:
         self.draw()
 
     # --- frame loop ----------------------------------------------------
-    def draw(self):
+    def draw(self, frame=None):
+        """Show ``frame`` (or render one) — pass an already-rendered
+        rgb_array to avoid rasterizing twice per frame."""
         if self._closed:
             return False
-        frame = np.asarray(self.renderer.render_frame(self.sim))
+        if frame is None:
+            frame = self.renderer.render_frame(self.sim)
+        frame = np.asarray(frame)
         if self._im is None:
             self._im = self.ax.imshow(frame)
             self.fig.show()

@@ -37,9 +37,11 @@ def _render_blob(rgba, res=192):
         sim.renderer = None
         sim.setup_renderer(res=(res, res))
         sim.build()
-    sim.renderer._colors = np.tile(
-        np.asarray(rgba, np.float32), (sim.cfg.n_particles, 1)
-    )
+    tiled = np.tile(np.asarray(rgba, np.float32), (sim.cfg.n_particles, 1))
+    if hasattr(sim.renderer, "_colors"):  # NativeRenderer (RGBA)
+        sim.renderer._colors = tiled
+    else:  # PointRenderer reads .colors (RGB)
+        sim.renderer.colors = tiled[:, :3]
     return np.asarray(sim.render("rgb_array"))
 
 

@@ -144,7 +144,9 @@ def main():
                     del os.environ["FL_SMOKE_IMPL"]
                 else:
                     os.environ["FL_SMOKE_IMPL"] = prev_impl
-        inner = 2 if grad else 5
+        # amortize the remote tunnel's ~24 ms dispatch round-trip (r2
+        # trace: 5-step dispatches over-reported 3.1 ms/step as 7.87)
+        inner = 6 if grad else 20
 
         if grad:
             def loss(v0, s):
@@ -278,7 +280,7 @@ def main():
     for gd in os.environ.get("FL_BATCH_GRADDOT", "").split(","):
         # FL_GRAD_DOT sweep: backward-kernel dot strategy (lru-cached,
         # read lazily at kernel trace time — clear + fresh jit retraces)
-        if gd and want(f"graddot:{gd}"):
+        if gd and want(f"grad/graddot:{gd}"):
             from fluidlab_tpu.ops.masks import grad_dot_mode
             os.environ["FL_GRAD_DOT"] = gd
             grad_dot_mode.cache_clear()
