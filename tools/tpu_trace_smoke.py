@@ -59,8 +59,10 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(3):
-        s = step(s, params)
-    jax.block_until_ready(s)
+        # block per step: through the axon tunnel a tail-only block can
+        # report enqueue latency instead of device time (r2: 0.22 ms/step
+        # "steady" vs 3.1 ms of traced busy time)
+        s = jax.block_until_ready(step(s, params))
     dt = (time.perf_counter() - t0) / 3
     print(f"steady: {dt * 1e3:.2f} ms/step ({1 / dt:.1f} steps/s) "
           f"res={res} jacobi={iters}", flush=True)
