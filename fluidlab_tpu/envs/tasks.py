@@ -13,6 +13,8 @@ from fluidlab_tpu.envs import register
 from fluidlab_tpu.envs.fluid_env import FluidEnv
 from fluidlab_tpu.losses import (
     CirculationLoss,
+    ScoopingLoss,
+    StabilizingLoss,
     GatheringEasyLoss,
     GatheringOLoss,
     IceCreamDynamicLoss,
@@ -990,4 +992,178 @@ class CirculationEnv(FluidEnv):
         return CirculationPolicy(
             optim_cfg, init_range, self.sim.action_dim, self.horizon_action,
             self.action_range, fix_dim=[0, 1, 2, 3, 5, 6, 7],
+        )
+
+
+# ============================================================== Scooping
+@register("Scooping-v0")
+class ScoopingEnv(FluidEnv):
+    """Scooping (beyond-reference: registered but not shipped in the
+    reference, envs/__init__.py:4-10) — scoop the floating rigid ball
+    out of the water tank with a bowl-shaped ladle and lift it above
+    ``ScoopingLoss.lift_y``."""
+
+    horizon = 500
+    horizon_action = 500
+    _n_obs_ptcls_per_body = 500
+    action_range = np.array([-0.003, 0.003])
+    max_substeps_local = 50
+
+    def setup_agent(self):
+        self.sim.setup_agent(
+            dict(
+                type="AgentRigid",
+                effectors=[
+                    dict(
+                        type="Rigid",
+                        params=dict(init_pos=(0.3, 0.7, 0.5), action_dim=3),
+                        mesh=dict(
+                            file="bowl.obj", scale=(0.12, 0.12, 0.12),
+                            euler=(0.0, 0.0, 0.0), material="BOWL",
+                            softness=100.0,
+                        ),
+                        boundary=dict(
+                            type="cube", lower=(0.15, 0.3, 0.15),
+                            upper=(0.85, 0.9, 0.85),
+                        ),
+                    )
+                ],
+            )
+        )
+
+    def setup_statics(self):
+        self.sim.add_static(
+            file="tank.obj", pos=(0.5, 0.4, 0.5), euler=(0.0, 0.0, 0.0),
+            scale=(1.0, 0.92, 0.92), material=M.TANK, has_dynamics=False,
+        )
+
+    def setup_bodies(self):
+        self.sim.add_body(
+            type="cube", lower=(0.05, 0.3, 0.17), upper=(0.95, 0.5, 0.83),
+            material=M.WATER,
+        )
+        self.sim.add_body(
+            type="ball", center=(0.6, 0.55, 0.5), radius=0.06,
+            color=(1.0, 0.8, 0.2, 1.0), filling="grid",
+            material=M.RIGID_LIGHT,
+        )
+
+    def setup_boundary(self):
+        self.sim.setup_boundary(
+            type="cube", lower=(0.06, 0.3, 0.18), upper=(0.94, 0.95, 0.82)
+        )
+
+    def setup_renderer(self):
+        self.sim.setup_renderer(
+            kind=self.renderer_type,
+            camera_pos=(-0.15, 2.0, 2.5), camera_lookat=(0.5, 0.5, 0.5),
+            fov=30,
+        )
+
+    def setup_loss(self):
+        self.sim.setup_loss(
+            loss_cls=ScoopingLoss, type=self.loss_type,
+            matching_mat=M.RIGID_LIGHT, weights={"lift": 1.0},
+        )
+
+    def demo_policy(self, user_input=False):
+        """Scripted dip -> slide-under -> lift trajectory."""
+        from fluidlab_tpu.optimizer.policies import ActionsPolicy
+
+        H, dim = self.horizon_action, self.sim.action_dim
+        v = np.zeros((H, dim), np.float32)
+        lim = float(self.action_range[1])
+        # approach + dip under the ball, then lift straight up
+        v[0:150] = np.array([lim, -lim, 0.0]) * 0.9
+        v[150:250] = np.array([lim * 0.5, 0.0, 0.0])
+        v[250:460] = np.array([0.0, lim, 0.0]) * 0.95
+        p = np.zeros((1, dim), np.float32)
+        return ActionsPolicy(np.concatenate([v, p], axis=0))
+
+    def trainable_policy(self, optim_cfg, init_range):
+        from fluidlab_tpu.optimizer.policies import TrainablePolicy
+
+        return TrainablePolicy(
+            optim_cfg, init_range, self.sim.action_dim, self.horizon_action,
+            self.action_range,
+        )
+
+
+# =========================================================== Stabilizing
+@register("Stabilizing-v0")
+class StabilizingEnv(FluidEnv):
+    """Stabilizing (beyond-reference, like Scooping) — an elastic column
+    sags and wobbles under gravity; the plate agent must keep its
+    particles at their rest positions (StabilizingLoss)."""
+
+    horizon = 400
+    horizon_action = 400
+    _n_obs_ptcls_per_body = 500
+    action_range = np.array([-0.003, 0.003])
+    max_substeps_local = 40
+
+    def setup_agent(self):
+        self.sim.setup_agent(
+            dict(
+                type="AgentRigid",
+                effectors=[
+                    dict(
+                        type="Rigid",
+                        params=dict(init_pos=(0.5, 0.62, 0.5), action_dim=3),
+                        mesh=dict(
+                            file="plate.obj", scale=(0.2, 0.2, 0.2),
+                            euler=(0.0, 90.0, 0.0), material="PLATE",
+                            softness=100.0,
+                        ),
+                        boundary=dict(
+                            type="cube", lower=(0.2, 0.3, 0.2),
+                            upper=(0.8, 0.9, 0.8),
+                        ),
+                    )
+                ],
+            )
+        )
+
+    def setup_bodies(self):
+        self.sim.add_body(
+            type="cube", lower=(0.44, 0.1, 0.44), upper=(0.56, 0.6, 0.56),
+            material=M.ELASTIC,
+        )
+
+    def setup_boundary(self):
+        self.sim.setup_boundary(
+            type="cube", lower=(0.05, 0.05, 0.05), upper=(0.95, 0.95, 0.95)
+        )
+
+    def setup_renderer(self):
+        self.sim.setup_renderer(
+            kind=self.renderer_type,
+            camera_pos=(1.6, 1.2, 1.8), camera_lookat=(0.5, 0.4, 0.5),
+            fov=30,
+        )
+
+    def setup_loss(self):
+        self.sim.setup_loss(
+            loss_cls=StabilizingLoss, type=self.loss_type,
+            matching_mat=M.ELASTIC, weights={"dist": 1.0},
+        )
+
+    def demo_policy(self, user_input=False):
+        """Gentle sinusoidal hover above the column (goal-free task —
+        the demo just shows the scene; training does the work)."""
+        from fluidlab_tpu.optimizer.policies import ActionsPolicy
+
+        H, dim = self.horizon_action, self.sim.action_dim
+        v = np.zeros((H, dim), np.float32)
+        t = np.arange(H)
+        v[:, 0] = 0.3 * float(self.action_range[1]) * np.sin(t / 40.0)
+        p = np.zeros((1, dim), np.float32)
+        return ActionsPolicy(np.concatenate([v, p], axis=0))
+
+    def trainable_policy(self, optim_cfg, init_range):
+        from fluidlab_tpu.optimizer.policies import TrainablePolicy
+
+        return TrainablePolicy(
+            optim_cfg, init_range, self.sim.action_dim, self.horizon_action,
+            self.action_range,
         )

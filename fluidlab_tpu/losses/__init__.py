@@ -11,5 +11,7 @@ from fluidlab_tpu.losses.tasks import (  # noqa: F401
     MixingLoss,
     PouringLoss,
     RLTestLoss,
+    ScoopingLoss,
+    StabilizingLoss,
     TransportingLoss,
 )

@@ -416,3 +416,73 @@ class RLTestLoss(Loss):
         d = jnp.sqrt(jnp.sum((pos - goal) ** 2) + 1e-12)
         return {"step_loss": jax.lax.stop_gradient(d)}
 
+
+
+class ScoopingLoss(Loss):
+    """Scooping (beyond-reference: the reference registers Scooping-v0
+    but ships no implementation, reference envs/__init__.py:4-10) —
+    lift the rigid object out of the water: squared height deficit below
+    ``lift_y`` summed over the matching (rigid) particles."""
+
+    reward_scale = 0.05
+    reward_offset = 50.0
+    step_loss_scale = 0.05
+    lift_y = 0.75
+
+    def __init__(self, type="diff", matching_mat=M.RIGID, **kwargs):
+        if type == "diff":
+            kwargs.update(
+                plateau_count_limit=10,
+                temporal_expand_speed=100,
+                temporal_init_range_end=100,
+                temporal_range_type="expand",
+                plateau_thresh=(1e-6, 0.1),
+            )
+        else:
+            kwargs.update(temporal_range_type="all")
+        super().__init__(**kwargs)
+        self.matching_mat = matching_mat
+
+    def build(self, sim):
+        self.lift_weight = self.weights.get("lift", 1.0)
+        super().build(sim)
+
+    def loss_fn(self, state, params, aux_t):
+        x = state.particles.x  # (3, N)
+        match = state.particles.used & (params.p_mat == self.matching_mat)
+        deficit = jnp.maximum(self.lift_y - x[1], 0.0) ** 2
+        return {
+            "step_loss": jnp.sum(jnp.where(match, deficit, 0.0))
+            * self.lift_weight
+        }
+
+
+class StabilizingLoss(Loss):
+    """Stabilizing (beyond-reference, like Scooping) — keep the elastic
+    column's particles at their build-time rest positions: squared
+    displacement from x0 summed over the matching particles."""
+
+    reward_scale = 0.02
+    reward_offset = 100.0
+    step_loss_scale = 0.02
+
+    def __init__(self, type="diff", matching_mat=M.ELASTIC, **kwargs):
+        kwargs.update(temporal_range_type="all")
+        super().__init__(**kwargs)
+        self.matching_mat = matching_mat
+
+    def build(self, sim):
+        self.dist_weight = self.weights.get("dist", 1.0)
+        # rest positions from the deterministic scene build ((N, 3) in
+        # the scene dict -> engine SoA (3, N))
+        self.x0 = jnp.asarray(sim.particles["x"].T, jnp.float32)
+        super().build(sim)
+
+    def loss_fn(self, state, params, aux_t):
+        x = state.particles.x  # (3, N)
+        match = state.particles.used & (params.p_mat == self.matching_mat)
+        d2 = jnp.sum((x - self.x0) ** 2, axis=0)
+        return {
+            "step_loss": jnp.sum(jnp.where(match, d2, 0.0))
+            * self.dist_weight
+        }
