@@ -44,5 +44,35 @@ solver = Solver(env2, cfg=dict(
     init_range=dict(v=((0.,0.,0.),(0.,0.,0.)), p=((0.15,0.65,0.5),(0.15,0.65,0.5))),
     optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
 ))
-solver.solve()
+policy = solver.solve()
 print("LATTEART TPU SOLVE: DONE", flush=True)
+
+# optional visual artifact: replay the optimized actions and write frames
+art_dir = os.environ.get("FL_SOLVE_ARTIFACT")
+if art_dir:
+    os.makedirs(art_dir, exist_ok=True)
+    sim = env2.sim
+    env2.reset()
+    ap = policy.get_actions_p()
+    if ap is not None:
+        sim.apply_agent_action_p(ap)
+    sim.setup_renderer(
+        kind="native", res=(640, 640), camera_pos=(0.5, 2.2, 0.7),
+        camera_lookat=(0.5, 0.5, 0.5), fov=32,
+    )
+    sim.renderer.build(sim)
+    every = max(1, env2.horizon // 10)
+    for t in range(env2.horizon):
+        a = policy.get_action_v(t) if t < env2.horizon_action else None
+        sim.step(a)
+        if t % every == 0 or t == env2.horizon - 1:
+            frame = np.asarray(sim.render("rgb_array"))
+            try:
+                from PIL import Image
+
+                Image.fromarray(frame[..., :3].astype(np.uint8)).save(
+                    os.path.join(art_dir, f"{t:04d}.png")
+                )
+            except ImportError:
+                np.save(os.path.join(art_dir, f"{t:04d}.npy"), frame)
+    print(f"artifact frames -> {art_dir}", flush=True)
