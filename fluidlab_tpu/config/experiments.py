@@ -151,18 +151,24 @@ EXPERIMENTS = {
             optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
         ),
     ),
+    # reference exp_circulation.yaml: nonzero s (0.02 x 1e5) and r
+    # (0.04 x 50 cells) INITIAL actions — the aircon must blow from
+    # iteration 0 (only dim 4 is trainable, fix_dim pins s/r at init)
     "circulation": dict(
         EXP=dict(seed=0, env_name="Circulation-v0"),
         SOLVER=dict(
-            n_iters=500,
+            n_iters=1000,
             init_range=dict(
-                v=((0.0,) * 8, (0.0,) * 8),
+                v=(
+                    (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.02, 0.04),
+                    (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.02, 0.04),
+                ),
                 p=(
-                    (0.55, 0.5, 0.27, 0, 0, 0, 0, 0),
-                    (0.55, 0.5, 0.27, 0, 0, 0, 0, 0),
+                    (0.55, 0.5, 0.35, 0, 0, 0, 0, 0),
+                    (0.55, 0.5, 0.35, 0, 0, 0, 0, 0),
                 ),
             ),
-            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=5e-3, beta_1=0.9, beta_2=0.99),
         ),
     ),
 }

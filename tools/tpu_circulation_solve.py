@@ -1,0 +1,46 @@
+"""Circulation trajectory-optimization iterations on real TPU — the
+end-to-end exercise of the smoke kernels' hand-written adjoints
+(ops/smoke_pallas.py) inside the solver loop.
+
+Mini config: reference scene (128^3 smoke, 50 Jacobi iters, AirCon
+8-D agent, thermometer-voxel loss) at horizon 20 instead of 1000.
+
+Env: FL_SOLVE_ITERS (default 3).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from fluidlab_tpu.envs.tasks import CirculationEnv  # noqa: E402
+from fluidlab_tpu.optimizer.solver import Solver  # noqa: E402
+
+
+class MiniCirculation(CirculationEnv):
+    horizon = int(os.environ.get("FL_CIRC_H", 20))
+    horizon_action = int(os.environ.get("FL_CIRC_H", 20))
+    max_substeps_local = 10
+
+    def setup_renderer(self):
+        self.sim.renderer = None
+
+
+t0 = time.time()
+env = MiniCirculation(loss=True, seed=0)
+print(f"env built: smoke res={env.smoke_res} jacobi="
+      f"{env.smoke_solver_iters} H={env.horizon} ({time.time()-t0:.0f}s)",
+      flush=True)
+cfg = __import__('fluidlab_tpu.config.experiments', fromlist=['load_config']).load_config('circulation')
+solver = Solver(env, cfg=dict(
+    n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
+    init_range=cfg["SOLVER"]["init_range"],
+    optim=cfg["SOLVER"]["optim"],
+))
+solver.solve()
+print("CIRCULATION TPU SOLVE: DONE", flush=True)
