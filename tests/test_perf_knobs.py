@@ -16,6 +16,13 @@ _SCRIPT = r"""
 import json, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: each knob combo re-runs this script in a
+# fresh subprocess — without the cache every combo recompiles the
+# pallas transfer path (~6 min each on these 4 vCPUs)
+import os as _os
+_os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 from fluidlab_tpu.core.bspline import base_and_fx_soa, quadratic_weights_soa
