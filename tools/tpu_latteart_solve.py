@@ -17,11 +17,12 @@ from fluidlab_tpu.optimizer.recorder import Recorder
 from fluidlab_tpu.optimizer.solver import Solver
 
 class SmallLatte(LatteArtEnv):
-    horizon = 100
-    horizon_action = 80
+    horizon = int(os.environ.get("FL_LATTE_H", 100))
+    horizon_action = int(os.environ.get("FL_LATTE_HA", 80))
     max_substeps_local = 20  # remat window 2 steps: bound bwd residency
     def __init__(self, **kw):
-        kw.setdefault("particle_density", 4e5)
+        kw.setdefault("particle_density",
+                      float(os.environ.get("FL_LATTE_DENSITY", 4e5)))
         super().__init__(**kw)
     def setup_renderer(self):
         self.sim.renderer = None
