@@ -175,7 +175,7 @@ class FluidEnv(gym.Env):
                 display_available,
             )
 
-            if display_available():
+            if display_available() and getattr(self, "_viewer", None) is not False:
                 try:
                     if getattr(self, "_viewer", None) is None:
                         self._viewer = InteractiveViewer(
@@ -183,8 +183,9 @@ class FluidEnv(gym.Env):
                         )
                     self._viewer.draw(frame)
                 except Exception:
-                    # missing GUI backend etc. — degrade to rgb_array
-                    self._viewer = None
+                    # missing GUI backend etc. — degrade to rgb_array;
+                    # False = don't retry construction every frame
+                    self._viewer = False
         return frame
 
     @property

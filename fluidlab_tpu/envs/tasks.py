@@ -1077,7 +1077,9 @@ class ScoopingEnv(FluidEnv):
         v[0:150] = np.array([lim, -lim, 0.0]) * 0.9
         v[150:250] = np.array([lim * 0.5, 0.0, 0.0])
         v[250:460] = np.array([0.0, lim, 0.0]) * 0.95
-        p = np.zeros((1, dim), np.float32)
+        # the p row must place the effector at its start pose —
+        # apply_action_p sets pos unconditionally (engine/mpm.py)
+        p = np.array([[0.3, 0.7, 0.5]], np.float32)
         return ActionsPolicy(np.concatenate([v, p], axis=0))
 
     def trainable_policy(self, optim_cfg, init_range):
@@ -1157,7 +1159,7 @@ class StabilizingEnv(FluidEnv):
         v = np.zeros((H, dim), np.float32)
         t = np.arange(H)
         v[:, 0] = 0.3 * float(self.action_range[1]) * np.sin(t / 40.0)
-        p = np.zeros((1, dim), np.float32)
+        p = np.array([[0.5, 0.62, 0.5]], np.float32)
         return ActionsPolicy(np.concatenate([v, p], axis=0))
 
     def trainable_policy(self, optim_cfg, init_range):

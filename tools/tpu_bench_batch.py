@@ -116,7 +116,8 @@ def main():
         print(f"[{tag}] {per * 1e3:.2f} ms/substep fwd+bwd "
               f"({H * cfg.n_substeps / dt:.1f} substeps/s)", flush=True)
 
-    def smoke_run(tag, res=128, iters=50, impl=None, grad=False):
+    def smoke_run(tag, res=128, iters=50, impl=None, grad=False,
+                  inner=None):
         from fluidlab_tpu.engine.config import SimCfg, SmokeCfg
         from fluidlab_tpu.engine.scene import SceneParams
         from fluidlab_tpu.engine.smoke import (
@@ -146,7 +147,11 @@ def main():
                     os.environ["FL_SMOKE_IMPL"] = prev_impl
         # amortize the remote tunnel's ~24 ms dispatch round-trip (r2
         # trace: 5-step dispatches over-reported 3.1 ms/step as 7.87)
-        inner = 6 if grad else 20
+        if inner is None:
+            # amortize the ~24 ms tunnel dispatch RTT; the XLA stencil
+            # path compile-OOMs past ~5 unrolled 128^3 steps (r5), so
+            # non-pallas legs pass inner=5 explicitly
+            inner = 6 if grad else 20
 
         if grad:
             def loss(v0, s):
@@ -256,6 +261,7 @@ def main():
             _masks.acc_dot_mode.cache_clear()
             _masks.mask_dot_prec.cache_clear()
             _masks.dot_prec.cache_clear()
+            _masks.grad_dot_mode.cache_clear()  # follows FL_ACC_DOT
             fwd_run(f"fwd/prec:{combo}", "substep", 0)
             grad_run(f"grad/prec:{combo}", 0, all_inviscid_liquid=False)
             for k in envs:
@@ -263,6 +269,7 @@ def main():
             _masks.acc_dot_mode.cache_clear()
             _masks.mask_dot_prec.cache_clear()
             _masks.dot_prec.cache_clear()
+            _masks.grad_dot_mode.cache_clear()
     if want("smoke"):
         smoke_run("smoke")
     for rs in os.environ.get("FL_BATCH_SMOKERES", "").split(","):
@@ -275,7 +282,7 @@ def main():
         # FL_TRILERP is read at trace time (no cache) — set + retrace.
         if tl and want(f"smoke/tl:{tl}"):
             os.environ["FL_TRILERP"] = tl
-            smoke_run(f"smoke/tl:{tl}")
+            smoke_run(f"smoke/tl:{tl}", inner=5)
             del os.environ["FL_TRILERP"]
     for gd in os.environ.get("FL_BATCH_GRADDOT", "").split(","):
         # FL_GRAD_DOT sweep: backward-kernel dot strategy (lru-cached,
@@ -291,7 +298,8 @@ def main():
         # FL_SMOKE_IMPL sweep: pallas (fused advection + VMEM Jacobi
         # kernels) vs xla (stencil fusions + scanned Jacobi).
         if im and want(f"smoke/impl:{im}"):
-            smoke_run(f"smoke/impl:{im}", impl=im)
+            smoke_run(f"smoke/impl:{im}", impl=im,
+                      inner=20 if im.startswith("pallas") else 5)
     for im in os.environ.get("FL_BATCH_SMOKEGRAD", "").split(","):
         if im and want(f"smokegrad/impl:{im}"):
             smoke_run(f"smokegrad/impl:{im}", impl=im, grad=True)

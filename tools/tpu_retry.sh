@@ -32,6 +32,7 @@ for attempt in $(seq 1 "$TRIES"); do
         fi
         if [ "$alive" = 0 ] && [ "$el" -ge "$INIT_T" ]; then
             echo "=== attempt $attempt: init wedge, killing $pid ===" >> "$LOG"
+            killed=1
             kill -9 "$pid" 2>/dev/null
             wait "$pid" 2>/dev/null
             break
@@ -47,8 +48,10 @@ for attempt in $(seq 1 "$TRIES"); do
     wait "$pid" 2>/dev/null
     rc=$?
     # re-check after exit: a fast job can print its marker and exit
-    # within one 10s poll window
-    if [ "$alive" = 0 ] && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
+    # within one 10s poll window (skip if WE killed it — the marker
+    # racing the kill must still retry, and rc would be bogus)
+    if [ "$alive" = 0 ] && [ "${killed:-0}" = 0 ] \
+        && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
         alive=1
     fi
     if [ "$alive" = 1 ]; then
