@@ -151,6 +151,31 @@ EXPERIMENTS = {
             optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
         ),
     ),
+    # beyond-reference tasks (registered-but-absent upstream,
+    # reference envs/__init__.py:4-10); init poses match the env
+    # effector start poses (envs/tasks.py ScoopingEnv/StabilizingEnv)
+    "scooping": dict(
+        EXP=dict(seed=0, env_name="Scooping-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.3, 0.7, 0.5), (0.3, 0.7, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
+    "stabilizing": dict(
+        EXP=dict(seed=0, env_name="Stabilizing-v0"),
+        SOLVER=dict(
+            n_iters=500,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.5, 0.62, 0.5), (0.5, 0.62, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+        ),
+    ),
     # reference exp_circulation.yaml: nonzero s (0.02 x 1e5) and r
     # (0.04 x 50 cells) INITIAL actions — the aircon must blow from
     # iteration 0 (only dim 4 is trainable, fix_dim pins s/r at init)

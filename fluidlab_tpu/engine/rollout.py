@@ -84,19 +84,32 @@ def make_segment_fn(
     building block of the host-segmented backward."""
     step = make_step(cfg, smoke_step_fn)
 
-    def segment(state, params, actions_seg, mask_seg, ts, ap, aux_seg):
+    def segment(state, params, actions_seg, mask_seg, ts, ap, aux_seg,
+                lp=None):
         def body(st, inp):
             a, has_a, t, aux = inp
             if action_overlay is not None:
                 a = action_overlay(st, a, t, ap)
             st = step(st, params, a, has_a)
-            out = loss_fn(st, params, aux) if loss_fn is not None else 0.0
+            out = _eval_loss(loss_fn, st, params, aux, lp)
             return st, out
 
         xs = (actions_seg, mask_seg, ts, aux_seg)
         return checkpointed_scan(body, state, xs, window=window)
 
     return segment
+
+
+def _eval_loss(loss_fn, st, params, aux, lp):
+    """Per-rollout loss constants ``lp`` (e.g. Pouring's attraction
+    target, losses/tasks.py) ride as traced arguments so updating them
+    between Adam iterations never retraces; losses that don't declare
+    them keep the 3-arg signature."""
+    if loss_fn is None:
+        return 0.0
+    if lp is None:
+        return loss_fn(st, params, aux)
+    return loss_fn(st, params, aux, lp)
 
 
 def make_segmented_fwd_bwd(
@@ -144,13 +157,13 @@ def make_segmented_fwd_bwd(
     seg_fwd = jax.jit(segment)
 
     @jax.jit
-    def seg_vjp(state, params, a, m, ts, ap, aux, ct_f, ct_w):
+    def seg_vjp(state, params, a, m, ts, ap, aux, ct_f, ct_w, lp=None):
         """One reverse-sweep step: cotangents of (float state leaves,
         weighted segment loss) -> cotangents of (entry state float
         leaves, segment actions, action_p)."""
 
         def f(state_, a_, ap_):
-            st1, outs = segment(state_, params, a_, m, ts, ap_, aux)
+            st1, outs = segment(state_, params, a_, m, ts, ap_, aux, lp)
             lsum = jnp.sum(outs["step_loss"] * ct_w)
             return (tuple(_float_leaves(st1)), lsum)
 
@@ -162,7 +175,7 @@ def make_segmented_fwd_bwd(
         return d_f, d_a, d_ap
 
     def fwd_bwd(state0, params, actions, action_mask, action_p, loss_aux,
-                loss_weights):
+                loss_weights, loss_params=None):
         H = actions.shape[0]
         L = seg_len
         assert H % L == 0, f"seg_len {L} must divide horizon {H}"
@@ -182,7 +195,8 @@ def make_segmented_fwd_bwd(
         outs_all = []
         for s in range(S):
             a, m, ts, aux_s = seg_args(s)
-            state, outs = seg_fwd(state, params, a, m, ts, ap, aux_s)
+            state, outs = seg_fwd(state, params, a, m, ts, ap, aux_s,
+                                  loss_params)
             bounds.append(state)
             outs_all.append(outs)
         final_state = state
@@ -195,7 +209,8 @@ def make_segmented_fwd_bwd(
             a, m, ts, aux_s = seg_args(s)
             ct_w = loss_weights[s * L:(s + 1) * L]
             ct_f, d_a, d_ap_s = seg_vjp(
-                bounds[s], params, a, m, ts, ap, aux_s, ct_f, ct_w
+                bounds[s], params, a, m, ts, ap, aux_s, ct_f, ct_w,
+                loss_params,
             )
             d_actions.append(d_a)
             d_ap = d_ap + d_ap_s
@@ -251,6 +266,7 @@ def make_rollout(
         action_mask=None,
         action_p=None,
         loss_aux=None,
+        loss_params=None,
     ):
         H = actions_v.shape[0]
         if action_mask is None:
@@ -269,7 +285,7 @@ def make_rollout(
             if action_overlay is not None:
                 a = action_overlay(state, a, t, ap)
             state = step(state, params, a, has_a)
-            out = loss_fn(state, params, aux) if loss_fn is not None else 0.0
+            out = _eval_loss(loss_fn, state, params, aux, loss_params)
             return state, out
 
         xs = (actions_v, action_mask, jnp.arange(H), loss_aux)

@@ -81,6 +81,16 @@ class Loss:
         ``loss_fn`` (e.g. target trajectories)."""
         return None
 
+    def loss_params(self):
+        """Optional pytree of per-rollout constants, passed to the jitted
+        rollout as traced ARGUMENTS (not closure constants), so host-side
+        updates between Adam iterations never retrigger compilation.
+        Losses that return one must accept ``loss_fn(state, params,
+        aux_t, lp)``.  (Pouring's attraction target is the use case —
+        the reference recomputes it host-side every iteration,
+        pouring_loss.py:102-121.)"""
+        return None
+
     def temporal_mask(self) -> jnp.ndarray:
         """(H,) weight over per-step losses implementing the temporal
         range truncation."""

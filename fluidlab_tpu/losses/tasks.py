@@ -230,7 +230,21 @@ class PouringLoss(Loss):
         flags[-1] = 1.0
         return jnp.asarray(flags)
 
-    def loss_fn(self, state, params, aux_t):
+    def loss_params(self):
+        """Attraction constants as traced jit arguments — the solver
+        updates them every Adam iteration (one-iteration lag vs the
+        reference's mid-rollout numpy pick, pouring_loss.py:102-121)
+        without retracing the fwd+bwd program."""
+        return dict(
+            best_pos=self.best_particle_pos,
+            score=self.attraction_score,
+            scale=self.attraction_scale,
+            ready=jnp.float32(1.0 if self._attraction_ready else 0.0),
+        )
+
+    def loss_fn(self, state, params, aux_t, lp=None):
+        if lp is None:
+            lp = self.loss_params()
         x = state.particles.x  # (3, N)
         used = state.particles.used
         water = params.p_mat == M.WATER
@@ -247,20 +261,20 @@ class PouringLoss(Loss):
             )
         )
         step = dist * self.dist_weight + self.attraction_weight
-        if self.type == "diff" and self._attraction_ready:
-            near = (self.attraction_score < 100) & used & water
+        if self.type == "diff":
+            near = (lp["score"] < 100) & used & water
             attraction = (
                 jnp.sum(
                     jnp.where(
                         near[None, :],
-                        jnp.abs(x - self.best_particle_pos[:, None]),
+                        jnp.abs(x - lp["best_pos"][:, None]),
                         0.0,
                     )
                 )
                 * 5000.0
-                * self.attraction_scale
+                * lp["scale"]
             )
-            step = step + aux_t * attraction
+            step = step + lp["ready"] * aux_t * attraction
         return {"step_loss": step}
 
 

@@ -1,9 +1,9 @@
 """Trajectory policies: recorded, interactive and trainable.
 
 Redesign of the reference policy layer (reference fluidlab/optimizer/
-policies.py:10-367).  A ``TrainablePolicy`` holds numpy parameters
-(actions_v, actions_p), a trainable mask, fix_dim, freeze_till and the
-Adam state, exactly like the reference, plus per-task schedules.
+policies.py:10-367).  A ``TrainablePolicy`` holds one stacked numpy
+parameter array (velocity rows + a final pose row), a trainable row mask,
+and the Adam state; per-task subclasses add freeze/lr schedules.
 
 The reference's Gathering/Mixing policies mutate actions *during* the
 forward rollout from the live effector position (policies.py:240-258,
@@ -158,32 +158,56 @@ class MousePolicy_vxz(MousePolicy):
 
 
 class TrainablePolicy:
-    """reference policies.py:131-164."""
+    """Trainable open-loop trajectory, optimized by the Solver.
+
+    Parameters live in ONE ``(horizon+1, action_dim)`` float64 array:
+    rows ``[0, horizon)`` are per-step velocity actions, the final row is
+    the initial-pose action — the stacked layout the reference calls
+    ``comp_actions`` (reference policies.py:131-164), kept so recorded
+    policy pkls and the solver's gradient stack line up row for row.
+
+    ``optimize`` zeroes gradient rows masked off by ``trainable`` (the
+    freeze schedules write into that mask) and columns listed in
+    ``fix_dim``, takes one Adam step, then clips the velocity rows to
+    ``action_range`` (the pose row is never clipped)."""
 
     def __init__(self, optim_cfg, init_range, action_dim, horizon,
                  action_range, fix_dim=None):
         self.horizon = horizon
         self.action_dim = action_dim
-        init_v = _get(init_range, "v")
-        init_p = _get(init_range, "p")
-        self.actions_v = np.random.uniform(
-            init_v[0], init_v[1], size=(horizon, action_dim)
-        )
-        self.actions_p = np.random.uniform(init_p[0], init_p[1], size=(action_dim,))
         self.action_range = action_range
-        self.comp_actions_shape = (horizon + 1, action_dim)
-        self.trainable = np.full(self.comp_actions_shape[0], True)
         self.fix_dim = fix_dim
         self.freeze_till = 0
-        self.scripted = None  # optional overlay descriptor
+        self.scripted = None  # optional on-device overlay descriptor
 
-        optim_type = _get(optim_cfg, "type", "Adam")
-        optim_cls = {"Adam": Adam}[optim_type]
-        self.optim = optim_cls(self.comp_actions_shape, optim_cfg)
+        lo_v, hi_v = _get(init_range, "v")
+        lo_p, hi_p = _get(init_range, "p")
+        self.params = np.empty((horizon + 1, action_dim), np.float64)
+        self.params[:horizon] = np.random.uniform(
+            lo_v, hi_v, (horizon, action_dim)
+        )
+        self.params[horizon] = np.random.uniform(lo_p, hi_p, action_dim)
+
+        self.trainable = np.ones(horizon + 1, dtype=bool)
+        optim_cls = {"Adam": Adam}[_get(optim_cfg, "type", "Adam")]
+        self.optim = optim_cls(self.params.shape, optim_cfg)
+
+    # -- layout views -----------------------------------------------------
+    @property
+    def comp_actions_shape(self):
+        return self.params.shape
 
     @property
     def comp_actions(self):
-        return np.vstack([self.actions_v, self.actions_p[None, :]])
+        return self.params
+
+    @property
+    def actions_v(self):
+        return self.params[:-1]
+
+    @property
+    def actions_p(self):
+        return self.params[-1]
 
     def get_actions_p(self):
         return self.actions_p
@@ -191,15 +215,19 @@ class TrainablePolicy:
     def get_action_v(self, i, **kwargs):
         return self.actions_v[i]
 
+    # -- update -----------------------------------------------------------
     def optimize(self, grads, loss_info):
-        assert grads.shape == self.comp_actions_shape
-        grads = np.array(grads)
-        grads[np.logical_not(self.trainable)] = 0
+        grads = np.asarray(grads, np.float64)
+        if grads.shape != self.params.shape:
+            raise ValueError(
+                f"gradient shape {grads.shape} != params {self.params.shape}"
+            )
+        masked = np.where(self.trainable[:, None], grads, 0.0)
         if self.fix_dim is not None:
-            grads[:, self.fix_dim] = 0
-        new_comp_actions = self.optim.step(self.comp_actions, grads)
-        self.actions_p = new_comp_actions[-1]
-        self.actions_v = new_comp_actions[:-1].clip(*self.action_range)
+            masked[:, self.fix_dim] = 0.0
+        new = self.optim.step(self.params, masked)
+        np.clip(new[:-1], *self.action_range, out=new[:-1])
+        self.params = new
 
 
 def _get(cfg, key, default=None):

@@ -66,12 +66,12 @@ class Solver:
                 action_overlay=overlay, seg_len=seg_len,
             )
 
-            def fwd_bwd_seg(actions_v, action_p, loss_mask):
+            def fwd_bwd_seg(actions_v, action_p, loss_mask, lp=None):
                 acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
                 acts = acts.at[:Ha].set(actions_v)
                 tot, step_out, final, (d_a, g_p) = seg_fb(
                     state0, params, acts, action_mask, action_p, aux,
-                    loss_mask,
+                    loss_mask, lp,
                 )
                 final_p = (
                     (final.particles.x, final.particles.used)
@@ -84,21 +84,12 @@ class Solver:
 
         rollout = sim.make_rollout_fn(action_overlay=overlay)
 
-        def total_loss(actions_v, action_p, loss_mask):
+        def total_loss_with_final(actions_v, action_p, loss_mask, lp):
             acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
             acts = acts.at[:Ha].set(actions_v)
             final, step_out = rollout(
-                state0, params, acts, action_mask, action_p, aux
-            )
-            step_losses = step_out["step_loss"]
-            total = jnp.sum(step_losses * loss_mask)
-            return total, step_out
-
-        def total_loss_with_final(actions_v, action_p, loss_mask):
-            acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
-            acts = acts.at[:Ha].set(actions_v)
-            final, step_out = rollout(
-                state0, params, acts, action_mask, action_p, aux
+                state0, params, acts, action_mask, action_p, aux,
+                loss_params=lp,
             )
             step_losses = step_out["step_loss"]
             total = jnp.sum(step_losses * loss_mask)
@@ -110,10 +101,10 @@ class Solver:
             return total, (step_out, final_p)
 
         @jax.jit
-        def fwd_bwd(actions_v, action_p, loss_mask):
+        def fwd_bwd(actions_v, action_p, loss_mask, lp=None):
             (tot, (step_out, final_p)), grads = jax.value_and_grad(
                 total_loss_with_final, argnums=(0, 1), has_aux=True
-            )(actions_v, action_p, loss_mask)
+            )(actions_v, action_p, loss_mask, lp)
             return tot, step_out, final_p, grads
 
         return fwd_bwd
@@ -136,6 +127,7 @@ class Solver:
                 jnp.asarray(policy.actions_v, jnp.float32),
                 jnp.asarray(policy.actions_p, jnp.float32),
                 loss_mask,
+                loss.loss_params(),
             )
             step_losses = np.asarray(step_out["step_loss"], np.float64)
             grad = np.concatenate(
@@ -151,13 +143,13 @@ class Solver:
             # host-lagged loss constants (Pouring attraction: the reference
             # picks the best particle mid-rollout with numpy,
             # pouring_loss.py:102-121; we feed it from this iteration's
-            # final state into the next — and rebuild the jitted fn since
-            # the constants are baked in)
+            # final state into the next).  The constants enter the jitted
+            # fwd_bwd as ARGUMENTS (loss.loss_params()), so this update
+            # never retraces.
             if hasattr(loss, "update_attraction_from_state") and final_p is not None:
                 loss.update_attraction_from_state(
                     final_p[0], final_p[1], np.asarray(env_mat(self.env))
                 )
-                fwd_bwd = self._build_fwd_bwd(policy)
 
             print(
                 f"=======> iter {iteration}: loss {loss_info['loss']:.4f} "

@@ -1,0 +1,282 @@
+"""Mini record->solve cycles for every remaining task env.
+
+The reference's deliverable is 10 *optimizable* tasks (reference exp.sh
+runs solve on each; fluidlab/optimizer/solver.py:17-71).  LatteArt is
+covered in test_envs_solver.py and Circulation in test_circulation_env.py;
+here the other eight each get the same treatment at miniature scale:
+build a tiny env (reduced density + horizon), record a demo target where
+the loss needs one, run a few jitted fwd+bwd Adam iterations through the
+task's own trainable policy, and assert the loss responds (finite nonzero
+action gradients, non-increasing loss course).
+
+Also locks in the Pouring no-retrace contract: updating the attraction
+constants between iterations (losses/tasks.py loss_params) must not
+retrigger tracing.
+"""
+
+import numpy as np
+import pytest
+
+from fluidlab_tpu.envs import tasks as T
+from fluidlab_tpu.optimizer.recorder import Recorder
+from fluidlab_tpu.optimizer.solver import Solver, env_mat
+
+
+def _tiny_env_cls(base, horizon, horizon_action=None, density=2e4,
+                  pool=None, target=None):
+    """Subclass ``base`` with a miniature horizon/scene (the TinyLatteArt
+    pattern, test_envs_solver.py)."""
+    ha = horizon_action if horizon_action is not None else horizon
+
+    class Tiny(base):
+        pass
+
+    Tiny.__name__ = f"Tiny{base.__name__}"
+    Tiny.horizon = horizon
+    Tiny.horizon_action = ha
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("particle_density", density)
+        if pool is not None:
+            kwargs.setdefault("pool_scale", pool)
+        base.__init__(self, **kwargs)
+
+    def build_env(self):
+        if target is not None:
+            self.target_file = target
+        base.build_env(self)
+
+    def setup_renderer(self):
+        self.sim.renderer = None
+
+    Tiny.__init__ = __init__
+    Tiny.build_env = build_env
+    Tiny.setup_renderer = setup_renderer
+    return Tiny
+
+
+def _run_mini_solve(env, init_p, n_iters=3, lr=1e-3, force_trainable=False):
+    """A few solver iterations through the env's own trainable policy;
+    returns (losses, last raw grad, policy)."""
+    import jax.numpy as jnp
+
+    a_dim = env.sim.action_dim
+    cfg = dict(
+        init_range=dict(
+            v=(tuple([0.0] * a_dim), tuple([0.0] * a_dim)),
+            p=(tuple(init_p), tuple(init_p)),
+        ),
+        optim=dict(type="Adam", lr=lr, beta_1=0.9, beta_2=0.99),
+    )
+    solver = Solver(env, logger=None, cfg=cfg)
+    policy = env.trainable_policy(cfg["optim"], cfg["init_range"])
+    if force_trainable:
+        policy.trainable[:] = True
+    fwd_bwd = solver._build_fwd_bwd(policy)
+    loss = env.sim.loss
+
+    losses, grad = [], None
+    for _ in range(n_iters):
+        mask = loss.temporal_mask()
+        tot, step_out, final_p, (g_v, g_p) = fwd_bwd(
+            jnp.asarray(policy.actions_v, jnp.float32),
+            jnp.asarray(policy.actions_p, jnp.float32),
+            mask,
+            loss.loss_params(),
+        )
+        losses.append(float(tot))
+        grad = np.concatenate(
+            [np.asarray(g_v, np.float64), np.asarray(g_p, np.float64)[None]]
+        )
+        info = loss.get_final_loss_info(
+            np.asarray(step_out["step_loss"], np.float64)
+        )
+        policy.optimize(grad, info)
+        if hasattr(loss, "update_attraction_from_state") and final_p is not None:
+            loss.update_attraction_from_state(
+                final_p[0], final_p[1], np.asarray(env_mat(env))
+            )
+    return losses, grad, policy
+
+
+def _assert_optimizable(losses, grad, rel_tol=1e-3):
+    assert np.all(np.isfinite(losses)), losses
+    assert np.all(np.isfinite(grad))
+    assert np.abs(grad).max() > 0, "action gradient is identically zero"
+    # non-increasing loss course (small relative tolerance: 2-3 Adam
+    # steps on a mini problem)
+    assert losses[-1] <= losses[0] * (1 + rel_tol) + 1e-9, losses
+
+
+def _record(env_cls, tmp_path_factory, name):
+    path = str(tmp_path_factory.mktemp("targets") / f"{name}.pkl")
+    env = env_cls(loss=False, seed=0)
+    env.target_file = path
+    Recorder(env).record()
+    return path
+
+
+# ------------------------------------------------------------- LatteArtStir
+class TestLatteArtStir:
+    def test_record_solve(self, tmp_path_factory):
+        base = _tiny_env_cls(T.LatteArtStirEnv, horizon=8)
+        target = _record(base, tmp_path_factory, "TinyLatteArtStir")
+        env_cls = _tiny_env_cls(T.LatteArtStirEnv, horizon=8, target=target)
+        env = env_cls(loss=True, seed=0)
+        # start the stirrer tip submerged (fluid surface ~0.57 at tiny
+        # density; the procedural stirrer's reach is ~0.08 below the
+        # effector origin) so contact is live within 8 steps
+        losses, grad, policy = _run_mini_solve(
+            env, init_p=(0.5, 0.62, 0.5), lr=1e-3
+        )
+        _assert_optimizable(losses, grad)
+        # fix_dim=[1]: y-velocity rows never move
+        assert np.all(policy.actions_v[:, 1] == 0.0)
+
+
+# ------------------------------------------------------------------ Pouring
+class TestPouring:
+    def test_solve_and_no_retrace(self):
+        env_cls = _tiny_env_cls(T.PouringEnv, horizon=8, density=2e4)
+        env = env_cls(loss=True, seed=0)
+
+        # count traces through loss_fn: executing the compiled fwd+bwd
+        # never re-enters Python, so the count must freeze after the
+        # first iteration even though the attraction constants update
+        loss = env.sim.loss
+        traces = {"n": 0}
+        orig_loss_fn = loss.loss_fn
+
+        def counting_loss_fn(*a, **k):
+            traces["n"] += 1
+            return orig_loss_fn(*a, **k)
+
+        loss.loss_fn = counting_loss_fn
+
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.6, 0.7, 0.5, 0.0, 0.0, 0.0), lr=1e-3, n_iters=3
+        )
+        _assert_optimizable(losses, grad)
+        traces_after_warmup = traces["n"]
+
+        # iterations 2 and 3 updated the attraction constants; had they
+        # been closure constants the fwd+bwd would have re-traced
+        env2_losses, _, _ = losses, None, None  # readability no-op
+        assert traces_after_warmup > 0
+        # one more solve iteration directly: count must not grow
+        import jax.numpy as jnp
+
+        solver = Solver(env, logger=None, cfg=None)
+        policy = env.trainable_policy(
+            dict(type="Adam", lr=1e-3),
+            dict(v=((0.0,) * 6, (0.0,) * 6),
+                 p=((0.6, 0.7, 0.5, 0.0, 0.0, 0.0),) * 2),
+        )
+        fwd_bwd = solver._build_fwd_bwd(policy)
+        n0 = traces["n"]
+        for _ in range(2):
+            fwd_bwd(
+                jnp.asarray(policy.actions_v, jnp.float32),
+                jnp.asarray(policy.actions_p, jnp.float32),
+                loss.temporal_mask(),
+                loss.loss_params(),
+            )
+            loss.update_attraction_from_state(
+                np.zeros((3, env.sim.cfg.n_particles), np.float32),
+                np.ones(env.sim.cfg.n_particles, bool),
+                np.asarray(env_mat(env)),
+            )
+        # first call re-traces (fresh jit cache for this fwd_bwd); the
+        # second (post-attraction-update) must hit the cache
+        n1 = traces["n"]
+        fwd_bwd(
+            jnp.asarray(policy.actions_v, jnp.float32),
+            jnp.asarray(policy.actions_p, jnp.float32),
+            loss.temporal_mask(),
+            loss.loss_params(),
+        )
+        assert traces["n"] == n1, "attraction update re-traced the fwd+bwd"
+
+
+# ------------------------------------------------------- GatheringEasy / O
+class TestGathering:
+    def test_gatheringeasy_solve(self):
+        env_cls = _tiny_env_cls(T.GatheringEasyEnv, horizon=6, density=5e4)
+        env = env_cls(loss=True, seed=0)
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.5, 0.4, 0.5), lr=5e-4
+        )
+        _assert_optimizable(losses, grad)
+
+    def test_gatheringo_solve(self):
+        env_cls = _tiny_env_cls(T.GatheringOEnv, horizon=6, density=5e4)
+        env = env_cls(loss=True, seed=0)
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.5, 0.4, 0.2), lr=5e-4
+        )
+        _assert_optimizable(losses, grad)
+
+
+# ----------------------------------------------------------------- IceCream
+class TestIceCreamStatic:
+    def test_record_solve(self, tmp_path_factory):
+        base = _tiny_env_cls(
+            T.IceCreamStaticEnv, horizon=8, density=2e4, pool=0.01
+        )
+        target = _record(base, tmp_path_factory, "TinyIceCreamStatic")
+        env_cls = _tiny_env_cls(
+            T.IceCreamStaticEnv, horizon=8, density=2e4, pool=0.01,
+            target=target,
+        )
+        env = env_cls(loss=True, seed=0)
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.62, 0.36, 0.5), lr=1e-3
+        )
+        _assert_optimizable(losses, grad)
+
+
+class TestIceCreamDynamic:
+    def test_record_solve(self, tmp_path_factory):
+        base = _tiny_env_cls(
+            T.IceCreamDynamicEnv, horizon=8, density=2e4, pool=0.01
+        )
+        target = _record(base, tmp_path_factory, "TinyIceCreamDynamic")
+        env_cls = _tiny_env_cls(
+            T.IceCreamDynamicEnv, horizon=8, density=2e4, pool=0.01,
+            target=target,
+        )
+        env = env_cls(loss=True, seed=0)
+        # cone starts inside the falling dispense stream so the
+        # action->cone->icecream contact chain is live at this horizon;
+        # the task policy's 169+ freeze window is empty at horizon 8, so
+        # unfreeze (the schedule itself is unit-tested in test_optim.py)
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.5, 0.76, 0.5), lr=1e-3, force_trainable=True
+        )
+        _assert_optimizable(losses, grad)
+
+
+# ------------------------------------------------------------- Transporting
+class TestTransporting:
+    def test_solve(self):
+        env_cls = _tiny_env_cls(
+            T.TransportingEnv, horizon=6, density=1e5, pool=0.01
+        )
+        env = env_cls(loss=True, seed=0)
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.5, 0.2, 0.5, 0.0, 0.0, 0.0), lr=1e-3
+        )
+        _assert_optimizable(losses, grad)
+
+
+# ------------------------------------------------------------------- Mixing
+class TestMixing:
+    def test_solve(self):
+        env_cls = _tiny_env_cls(T.MixingEnv, horizon=6, density=2e4)
+        env = env_cls(loss=True, seed=0)
+        # start the stirrer inside the milk cube (y 0.55-0.7) so the
+        # soft-contact gradient is live over a 6-step horizon
+        losses, grad, _ = _run_mini_solve(
+            env, init_p=(0.5, 0.62, 0.5), lr=1e-3
+        )
+        _assert_optimizable(losses, grad)
