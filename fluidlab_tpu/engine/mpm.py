@@ -177,6 +177,7 @@ def _inject(
     used_next,  # (N,)
     gate,
     slot_of_id=None,  # (N,) original particle id -> current state slot
+    psum_axis=None,   # particle-shard mesh axis (parallel/spatial.py)
 ):
     """Spawn ``flux`` particles from the pre-generated offset table
     (reference injector.py:80-105, 240-256).  The tiny (flux, 3) blocks
@@ -187,20 +188,20 @@ def _inject(
     rand = params.inj_rand[i]  # (L, flux, 3)
     L = rand.shape[0]
 
-    def do_inject(ops):
-        x_n, v_n, used_n, act_id = ops
+    def source_vals(act_id, dtype):
+        """(idx (flux,), xi (flux, 3), vi (flux, 3)) for this firing."""
         idx = jax.lax.dynamic_slice(act_range, (act_id,), (flux,))
         if slot_of_id is not None:  # state is block-sorted this step
             idx = slot_of_id[idx]
         rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
-        inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
+        inject_v = jnp.asarray(ecfg.inject_v, dtype=dtype)
         if ecfg.kind == "ball_injector":
             xi = rv + eff.pos  # offsets pre-scaled to the ball
             vi = jnp.broadcast_to(inject_v, (flux, 3))
         else:
             offset = (rv * 2.0 - 1.0) * ecfg.radius
             inject_p = quat_ops.transform_by_quat(
-                jnp.asarray(ecfg.inject_p, dtype=x_n.dtype), eff.quat
+                jnp.asarray(ecfg.inject_p, dtype=dtype), eff.quat
             )
             xi = offset + eff.pos + inject_p
             vdir = quat_ops.transform_by_quat(inject_v, eff.quat)
@@ -208,6 +209,36 @@ def _inject(
                 vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
             else:
                 vi = jnp.broadcast_to(vdir, (flux, 3))
+        return idx, xi, vi
+
+    if psum_axis is not None:
+        # Sharded particle pool: ``act_range`` holds GLOBAL slot ids and
+        # each device owns the contiguous window [d*Nl, (d+1)*Nl).  The
+        # dense one-hot compares the firing's global slots against the
+        # local window's global ids — the write lands only on the owning
+        # device, collective-free (the replicated act_id/gate keep every
+        # device's counter in lockstep).
+        x_n, v_n, used_n, act_id = x_next, v_next, used_next, eff.act_id
+        idx, xi, vi = source_vals(act_id, x_n.dtype)
+        Nl = x_n.shape[1]
+        gslots = (
+            jax.lax.axis_index(psum_axis).astype(idx.dtype) * Nl
+            + jnp.arange(Nl, dtype=idx.dtype)
+        )
+        onehot = idx[:, None] == gslots[None, :]  # (flux, Nl)
+        hit = jnp.any(onehot, axis=0) & gate
+        sel = onehot.astype(x_n.dtype)
+        vals_x = xi.T.astype(x_n.dtype) @ sel
+        vals_v = vi.T.astype(x_n.dtype) @ sel
+        x_n = jnp.where(hit[None, :], vals_x, x_n)
+        v_n = jnp.where(hit[None, :], vals_v, v_n)
+        used_n = used_n | hit
+        act_id = act_id + flux * gate.astype(jnp.int32)
+        return x_n, v_n, used_n, act_id
+
+    def do_inject(ops):
+        x_n, v_n, used_n, act_id = ops
+        idx, xi, vi = source_vals(act_id, x_n.dtype)
         for d in range(3):
             x_n = x_n.at[d, idx].set(xi[:, d])
             v_n = v_n.at[d, idx].set(vi[:, d])
@@ -221,25 +252,7 @@ def _inject(
         # the cond+scatter transpose is implicated in a TPU worker
         # crash at large N x horizon (RESULTS.md round-2 bisection).
         x_n, v_n, used_n, act_id = x_next, v_next, used_next, eff.act_id
-        idx = jax.lax.dynamic_slice(act_range, (act_id,), (flux,))
-        if slot_of_id is not None:
-            idx = slot_of_id[idx]
-        rv = jax.lax.dynamic_index_in_dim(rand, f_global % L, keepdims=False)
-        inject_v = jnp.asarray(ecfg.inject_v, dtype=x_n.dtype)
-        if ecfg.kind == "ball_injector":
-            xi = rv + eff.pos
-            vi = jnp.broadcast_to(inject_v, (flux, 3))
-        else:
-            offset = (rv * 2.0 - 1.0) * ecfg.radius
-            inject_p = quat_ops.transform_by_quat(
-                jnp.asarray(ecfg.inject_p, dtype=x_n.dtype), eff.quat
-            )
-            xi = offset + eff.pos + inject_p
-            vdir = quat_ops.transform_by_quat(inject_v, eff.quat)
-            if ecfg.randomize_inject_v:
-                vi = vdir + (rv * 2.0 - 1.0) * jnp.linalg.norm(inject_v) * 2.0
-            else:
-                vi = jnp.broadcast_to(vdir, (flux, 3))
+        idx, xi, vi = source_vals(act_id, x_n.dtype)
         if _INJECT_MODE == "dense":
             # Scatter-free injection: build a (flux, N) one-hot of the
             # target slots by broadcast compare, materialise the injected
@@ -324,19 +337,18 @@ def make_substep(cfg: SimCfg, psum_axis=None):
             " (the grid phase never materializes the canonical grid)"
         )
     if psum_axis is not None:
-        if use_regions:
+        if use_regions and _GRIDPHASE != "merged":
             raise ValueError(
-                "spatial sharding (psum_axis) needs a canonical-grid "
-                "transfer path to all-reduce — use p2g_impl/g2p_impl in "
-                "{scatter, sort, pallas, gather}, not 'regions'"
+                "spatial sharding of the regions path is implemented for "
+                "the fused grid phase only (FL_GRIDPHASE=merged, the "
+                "default) — the split p2g/g2p regions cores have no "
+                "all-reduce hook"
             )
-        if agent is not None and any(
-            e.kind in ("injector", "ball_injector") and e.flux
-            for e in agent.effectors
-        ):
+        if cfg.binning_mode == "step":
             raise ValueError(
-                "spatial sharding does not support injector effectors "
-                "yet (injection targets global particle-pool slots)"
+                "spatial sharding needs binning_mode='substep' (the "
+                "persistent block-sorted layout would need a sharded "
+                "slot_of_id map)"
             )
     _p2g = None if use_regions else get_p2g(cfg.p2g_impl)
     use_pallas_p2g = cfg.p2g_impl == "pallas"
@@ -611,7 +623,8 @@ def make_substep(cfg: SimCfg, psum_axis=None):
                     [b3, affine, params.p_mass[None, :]], axis=0
                 ) * usedf[None, :]
                 phase = make_grid_phase(
-                    _gridop_regions, G, marg, presorted, interp_r
+                    _gridop_regions, G, marg, presorted, interp_r,
+                    psum_axis=psum_axis,
                 )
                 S0, S1g = phase(fx, base, feats13, vop, binning)
                 new_v = S0
@@ -706,6 +719,7 @@ def make_substep(cfg: SimCfg, psum_axis=None):
                 x_next, v_next, used_next, new_act_id = _inject(
                     cfg, params, i, effs[i], state.f_global,
                     x_next, v_next, used_next, gate, slot_of_id,
+                    psum_axis=psum_axis,
                 )
                 effs_out[i] = effs_out[i].replace(act_id=new_act_id)
             effs_next = tuple(effs_out)

@@ -874,7 +874,7 @@ def _pack_bwd_merged(w, wp, lbase_global, feats12, feats13, order, valid,
 
 
 def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
-                    interpret: bool):
+                    interpret: bool, psum_axis=None):
     """Fused region-space grid phase with a single custom VJP:
 
         gridreg = p2g accumulate + halo sweeps        [pallas]
@@ -920,14 +920,31 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         syz = _make_sweep_yz(m, nb)
         sxs = _make_sweep_x_select(m, nb, 4)
 
-        def run_p2g():
-            return sxs(syz(acc_fn(packed, c2b)))
+        def run_acc():
+            return acc_fn(packed, c2b)
 
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                gridreg = run_p2g()
+                acc = run_acc()
         else:
-            gridreg = run_p2g()
+            acc = run_acc()
+        if psum_axis is not None:
+            # spatial sharding (parallel/spatial.py): each device
+            # accumulated only its local particle shard; every block has
+            # >= 1 chunk (ops/binning.py cpad), so empty blocks are
+            # exact zeros and ONE all-reduce of the interleaved
+            # accumulator (the smallest buffer in the phase) totals the
+            # grid.  Sweeps/grid_op then run replicated.
+            acc = jax.lax.psum(acc, psum_axis)
+
+        def run_sweeps():
+            return sxs(syz(acc))
+
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                gridreg = run_sweeps()
+        else:
+            gridreg = run_sweeps()
 
         vreg = gridop_fn(gridreg, vop)
 
@@ -955,14 +972,29 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
             S1loc[3 * i + d] + borig[d] * S0[i]
             for i in range(3) for d in range(3)
         ])
-        saved = (fx, base, feats13, vop, gridreg, order, valid, inv,
+        # residual: the INTERLEAVED accumulator (NB^3, r2pad, QCOLS), not
+        # the 3.4x larger per-channel gridreg — the backward re-runs the
+        # cheap halo sweeps (~0.13 ms) instead of stacking 42.5 MB per
+        # substep of residuals at 64^3 (scan-carry DUS traffic + HBM
+        # residency at long horizons)
+        saved = (fx, base, feats13, vop, acc, order, valid, inv,
                  starts, block)
         return (S0, S1g), saved
 
     def _bwd(res, cots):
-        fx, base, feats13, vop, gridreg, order, valid, inv, starts, \
+        fx, base, feats13, vop, acc, order, valid, inv, starts, \
             block = res
         S0bar, S1bar = cots
+
+        # rebuild the per-channel grid regions from the saved interleaved
+        # accumulator (already psum-totaled under sharding)
+        syz_b = _make_sweep_yz(m, nb)
+        sxs_b = _make_sweep_x_select(m, nb, 4)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                gridreg = sxs_b(syz_b(acc))
+        else:
+            gridreg = sxs_b(syz_b(acc))
 
         # 1. d_vregions: each block's own particles only touch its own
         # region (no halo merge in this direction) — one accumulate
@@ -987,6 +1019,14 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         # (the merged kernel's G2P operand).
         vreg, gop_vjp = jax.vjp(gridop_fn, gridreg, vop)
         d_gridreg, d_vop = gop_vjp(d_vreg)
+        if psum_axis is not None:
+            # d_vreg was accumulated from local particles only; the
+            # total region cotangent sums over devices.  gop_vjp is
+            # linear in the cotangent and identical on every device
+            # (gridreg is replicated), so all-reduce its output once.
+            # d_vop stays LOCAL: shard_map's transpose psums replicated
+            # -input cotangents itself.
+            d_gridreg = jax.lax.psum(d_gridreg, psum_axis)
 
         # 3. transposed sweeps -> compact 4-channel accumulate cotangent
         usx = _make_unsweep_x(m, nb, 4)

@@ -30,9 +30,14 @@ holds the full G^3 grid; at 64^3–128^3 (the FluidLab regime) the grid
 is ~1-8 MB vs ~50 MB/65k-particle state, so particles, not the grid,
 are the memory/compute that needs sharding.
 
-Injectors are not supported sharded yet (they address global pool
-slots); scenes with rigid/aircon agents, collectors, statics, smoke and
-all material classes work.
+All agent kinds work sharded, including injectors: injection targets
+global pool slots, and the sharded path compares the firing's global
+slot ids against each device's contiguous window (engine/mpm.py
+``_inject`` psum_axis branch) so the write lands only on the owning
+device, collective-free.  The flagship ``regions`` grid phase shards
+too: ONE psum of the interleaved block-region accumulator per substep
+forward and one of the region cotangent in the backward
+(ops/regions_pallas.py ``make_grid_phase(psum_axis=...)``).
 
 Validated on an 8-virtual-device CPU mesh: forward and gradients match
 the unsharded path to float tolerance (tests/test_spatial.py).
@@ -106,11 +111,13 @@ def _check_divisible(cfg, mesh, axis):
             f"n_particles={cfg.n_particles} must divide evenly over the "
             f"{n_dev}-device '{axis}' mesh axis (pad the particle pool)"
         )
-    if cfg.p2g_impl == "pallas" or cfg.g2p_impl == "pallas":
+    if cfg.p2g_impl in ("pallas", "regions") or cfg.g2p_impl in (
+        "pallas", "regions"
+    ):
         per_dev = cfg.n_particles // n_dev
         if per_dev % 128:
             raise ValueError(
-                f"pallas transfers need the per-device shard "
+                f"pallas/regions transfers need the per-device shard "
                 f"({per_dev}) to be a multiple of the 128-slot binning "
                 f"alignment"
             )

@@ -171,8 +171,10 @@ class NativeRenderer:
                 )
             if self.anisotropy:
                 out = np.empty((n, 3), np.float32)
+                # scale 1.5 closes inter-particle gaps at typical scene
+                # densities (the NvFlex default anisotropy scale is ~1)
                 self.lib.swr_compute_anisotropy(
-                    3.0 * self.particle_radius, 1.0, out
+                    3.0 * self.particle_radius, 1.5, out
                 )
         if sim.state.smoke is not None:
             # visualize the hot slab as translucent points (reference

@@ -69,6 +69,23 @@ def main():
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
 
+    if os.environ.get("FL_MEMSTATS"):
+        # compiled memory analysis BEFORE the first run: if the run then
+        # crashes the worker, the budget numbers are already printed
+        # (the round-2 crash discriminator, RESULTS.md)
+        lowered = vg.lower(state.particles.v, state)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            for k in (
+                "temp_size_in_bytes", "argument_size_in_bytes",
+                "output_size_in_bytes", "alias_size_in_bytes",
+                "generated_code_size_in_bytes",
+            ):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    print(f"memstats {k}: {v / 1e9:.3f} GB", flush=True)
+
     t0 = time.perf_counter()
     val, g = vg(state.particles.v, state)
     jax.block_until_ready((val, g))

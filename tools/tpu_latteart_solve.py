@@ -46,6 +46,12 @@ solver = Solver(env2, cfg=dict(
     optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
 ))
 policy = solver.solve()
+out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT", "/tmp/latte_solved_policy.pkl")
+import pickle
+with open(out_pkl, "wb") as f:
+    pickle.dump({"actions_v": np.asarray(policy.actions_v),
+                 "actions_p": np.asarray(policy.actions_p)}, f)
+print(f"policy -> {out_pkl}", flush=True)
 print("LATTEART TPU SOLVE: DONE", flush=True)
 
 # optional visual artifact: replay the optimized actions and write frames
