@@ -32,7 +32,10 @@ def main():
     outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/latteart_frames"
     os.makedirs(outdir, exist_ok=True)
 
-    env = make("LatteArt-v0", particle_density=density, loss=False)
+    env = make(
+        "LatteArt-v0", particle_density=density, loss=False,
+        renderer_type=os.environ.get("FL_RENDERER", "native"),
+    )
     env.reset()
     policy = env.demo_policy()
     sim = env.sim  # drive the sim directly (loss-free, recorder-style)

@@ -112,16 +112,25 @@ def _make_g2p_blocks(m: int, use_mxu: bool):
             T_a = T * a_col.astype(jnp.float32)
             T_b = T * b_col.astype(jnp.float32)
 
+        # ONE stacked z-contraction for all channels and both stencils:
+        # lhs [Wz | Wz*z] (2*CHUNK, RCOLS) against the channel-stacked
+        # region rows (channels separated by zero rows up to r2pad so
+        # the result slices at tile-aligned r2pad offsets).  Replaces 6
+        # dots + 6 output pads — kernel-internal op count is a
+        # first-class cost on this target (RESULTS.md r3).
+        from fluidlab_tpu.ops.masks import acc_dot
+
+        zrows = jnp.zeros((r2pad - r2, RCOLS), jnp.float32)
+        rr = jnp.concatenate(
+            [rvals[0], zrows, rvals[1], zrows, rvals[2], zrows], axis=0
+        )  # (3*r2pad, RCOLS)
+        lhs2 = jnp.concatenate([Wz, Wz_c], axis=0)  # (2*CHUNK, RCOLS)
+        zc = acc_dot(lhs2, rr, (((1,), (1,)), ((), ())))  # (2*CHUNK, 3*r2pad)
+
         outs = []
         for ch in range(3):
-            R_ch = rvals[ch]  # (r2, RCOLS)
-            # gz[p, ab] = sum_z Wz[p, z] R[ab, z]
-            from fluidlab_tpu.ops.masks import acc_dot
-
-            gz = acc_dot(Wz, R_ch, (((1,), (1,)), ((), ())))  # (CHUNK, r2)
-            gzc = acc_dot(Wz_c, R_ch, (((1,), (1,)), ((), ())))
-            gz_p = jnp.pad(gz, ((0, 0), (0, r2pad - r2)))
-            gzc_p = jnp.pad(gzc, ((0, 0), (0, r2pad - r2)))
+            gz_p = zc[0:CHUNK, ch * r2pad:(ch + 1) * r2pad]
+            gzc_p = zc[CHUNK:2 * CHUNK, ch * r2pad:(ch + 1) * r2pad]
             s0 = jnp.sum(T * gz_p, axis=1)       # (CHUNK,)
             s1a = jnp.sum(T_a * gz_p, axis=1)    # x-moment
             s1b = jnp.sum(T_b * gz_p, axis=1)    # y-moment

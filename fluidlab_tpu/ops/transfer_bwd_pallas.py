@@ -501,14 +501,30 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int,
             Dz = onehot(dvals[2], lvals[:, 2:3], zcol, z_valid)
         lhs = jnp.concatenate([Wz, Wz * xz1, Dz, Dz * xz1], axis=0)
 
-        def zc4(rgn):  # (r2, RCOLS) -> 4x (CHUNK, r2pad)
-            zc = _acc_dot(lhs, rgn, (((1,), (1,)), ((), ())))
-            zc = jnp.pad(zc, ((0, 0), (0, r2pad - r2)))
-            return (zc[0 * CHUNK:1 * CHUNK], zc[1 * CHUNK:2 * CHUNK],
-                    zc[2 * CHUNK:3 * CHUNK], zc[3 * CHUNK:4 * CHUNK])
+        # ONE stacked z-contraction for all 7 channel regions (4 compact
+        # + 3 velocity) x all 4 stencils: channels separated by zero rows
+        # up to r2pad so the (4*CHUNK, 7*r2pad) result slices at
+        # tile-aligned offsets, and the padded columns are exact zeros
+        # (replaces 7 dots + 7 output pads; kernel-internal op count is
+        # a first-class cost on this target, RESULTS.md r3).
+        zrows = jnp.zeros((r2pad - r2, RCOLS), jnp.float32)
+        parts = []
+        for q in range(4):
+            parts += [compact_ref[0, q], zrows]
+        for q in range(3):
+            parts += [vreg_ref[0, q], zrows]
+        rr = jnp.concatenate(parts, axis=0)  # (7*r2pad, RCOLS)
+        zc_all = _acc_dot(lhs, rr, (((1,), (1,)), ((), ())))
 
-        P = [zc4(compact_ref[0, q]) for q in range(4)]
-        Gv = [zc4(vreg_ref[0, q]) for q in range(3)]
+        def pick(qi):
+            return tuple(
+                zc_all[v * CHUNK:(v + 1) * CHUNK,
+                       qi * r2pad:(qi + 1) * r2pad]
+                for v in range(4)
+            )
+
+        P = [pick(q) for q in range(4)]
+        Gv = [pick(4 + q) for q in range(3)]
 
         if use_mxu:
             cm = rest[0][...]

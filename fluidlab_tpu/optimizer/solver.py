@@ -158,7 +158,34 @@ class Solver:
             if self.logger is not None:
                 loss_info["lr"] = policy.optim.lr
                 self.logger.log(iteration, loss_info)
+
+            # periodic visual monitor: replay the current policy and dump
+            # a rendered frame (reference optimizer/solver.py:60-71
+            # renders on-screen every 50 iterations; headless here, so
+            # the frame goes to the logger's image writer)
+            render_every = _get(cfg, "render_every", 0)
+            if (
+                render_every
+                and self.logger is not None
+                and iteration % render_every == 0
+                and getattr(env.sim, "renderer", None) is not None
+            ):
+                self._render_policy_frame(policy, iteration)
         return policy
+
+    def _render_policy_frame(self, policy, iteration):
+        """Replay the current policy forward and write the final frame."""
+        env = self.env
+        env.reset()
+        sim = env.sim
+        ap = policy.get_actions_p()
+        if ap is not None:
+            sim.apply_agent_action_p(ap)
+        for t in range(env.horizon):
+            a = policy.get_action_v(t) if t < env.horizon_action else None
+            sim.step(a)
+        img = np.asarray(sim.render("rgb_array"))
+        self.logger.write_img(img, iteration, env.horizon - 1)
 
 
 def env_mat(env):

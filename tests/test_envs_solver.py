@@ -5,6 +5,8 @@ API, demo-policy recording, target loading, jitted fwd+bwd rollout, Adam
 updates, curriculum bookkeeping.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -110,6 +112,38 @@ class TestRecordAndSolve:
         assert np.isfinite(losses).all()
         # gradient must be nonzero (actions influence the loss)
         assert np.abs(grad).max() > 0
+
+    def test_solver_render_monitor(self, recorded_env, tmp_path):
+        """Periodic visual monitor during solve (reference
+        optimizer/solver.py:60-71 renders every 50 iterations): with
+        render_every set and a renderer installed, the solver writes a
+        frame via the logger's image writer."""
+        from fluidlab_tpu.utils.logger import Logger
+
+        env = TinyLatteArtEnv(
+            loss=True, seed=0, target_file=recorded_env.target_file
+        )
+        env.sim.setup_renderer(kind="native", res=(64, 64))
+        env.sim.renderer.build(env.sim)
+        exp = f"render-monitor-test-{os.getpid()}"
+        logger = Logger(exp)
+        cfg = dict(
+            n_iters=1, render_every=1,
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+        )
+        Solver(env, logger=logger, cfg=cfg).solve()
+        logger.close()
+        import glob as _glob
+        import shutil
+
+        imgs = _glob.glob(os.path.join(logger.img_dir, "*.png"))
+        for d in (logger.img_dir, logger.policy_dir, logger.tb_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        assert imgs, "render monitor wrote no frame"
 
     def test_segmented_fwd_bwd_matches_monolithic(
         self, recorded_env, monkeypatch

@@ -102,7 +102,9 @@ def test_roundtrip_matches(inputs, m):
     b_v, b_C = _roundtrip_regions(base, fx, w, usedf, mass, v, affine,
                                   G, dx, binning, m)
     np.testing.assert_allclose(np.asarray(b_v), np.asarray(a_v), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(b_C), np.asarray(a_C), atol=1e-3)
+    # C reassociates through the batched z-contraction (one stacked dot
+    # vs per-channel dots) — worst element ~2e-3 on values of O(10)
+    np.testing.assert_allclose(np.asarray(b_C), np.asarray(a_C), atol=4e-3)
 
 
 @pytest.mark.parametrize("m", [0, 1])
