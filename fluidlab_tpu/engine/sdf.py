@@ -91,7 +91,12 @@ def _friction_project_soa(rel_v, normal, friction):
     nc = sum(rel_v[i] * normal[i] for i in range(3))
     nc_neg = jnp.minimum(nc, 0.0)
     rel_t = [rel_v[i] - nc_neg * normal[i] for i in range(3)]
-    tnorm = jnp.sqrt(sum(t * t for t in rel_t))
+    # guarded sqrt: at rest rel_t == 0 exactly, and d sqrt(x)/dx -> inf
+    # at 0 turns into inf * 0 = NaN through the flag-gated `where`
+    # below (both branches' cotangents are computed) — poisoning the
+    # whole action gradient.  The epsilon shifts tnorm by <= 1e-12,
+    # far below the EPS contact gate.
+    tnorm = jnp.sqrt(sum(t * t for t in rel_t) + 1e-24)
     safe = jnp.maximum(tnorm, EPS)
     scale = jnp.maximum(0.0, tnorm + nc * friction) / safe
     flag = (nc < 0) & (tnorm > EPS)

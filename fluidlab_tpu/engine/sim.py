@@ -473,12 +473,15 @@ class FluidSim:
         (engine/rollout.py make_segmented_fwd_bwd), or None for the
         monolithic jitted fwd+bwd.
 
-        Monolithic fwd+bwd rollouts fault the TPU worker beyond a
-        particles x substeps x horizon budget (46k x 20 x 100 crashes,
-        46k x 20 x 20 is fine — RESULTS.md round-2 bisection), so past
-        a conservative threshold the solver splits the horizon into
-        host-chained segment VJPs.  FL_SEGLEN forces a length (<=0
-        forces monolithic)."""
+        The round-2 worker fault on monolithic fwd+bwd was
+        backward-residual HBM pressure; the interleaved-accumulator
+        residual (ops/regions_pallas.py) fixed it — the old crash
+        config (46k x 10 x 100) now runs monolithic at 9.95 s/iter vs
+        12.92 segmented (RESULTS.md r3).  The budget below is anchored
+        to that measured working point (x4 margin); far beyond it the
+        limiter is the remote-compile tunnel's upload cap (HTTP 413 at
+        the full LatteArt spec), not the TPU.  FL_SEGLEN forces a
+        length (<=0 forces monolithic)."""
         import os as _os
 
         horizon = self.horizon if horizon is None else horizon
@@ -490,9 +493,9 @@ class FluidSim:
         if not on_tpu:
             return None
         work = self.cfg.n_particles * self.cfg.n_substeps
-        if work * horizon <= 2.5e7:
+        if work * horizon <= 2e8:
             return None
-        budget = 1.5e7
+        budget = 1e8
         l_max = max(1, min(horizon, int(budget / max(work, 1))))
         for L in range(l_max, 0, -1):
             if horizon % L == 0:

@@ -228,26 +228,36 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                     + _mmk(acc, Szs)
                 )
             else:
-                cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 0)
-                zout = jax.lax.broadcasted_iota(jnp.int32, (wcols, RCOLS), 1)
+                # ONE batched set of selection matmuls for all output
+                # channels: q folded into the lane dim (q*RCOLS + z), so
+                # 4 dots replace 4*n_out and the per-q writes slice at
+                # tile-aligned offsets (kernel-internal op count is a
+                # first-class cost on this target, RESULTS.md r3)
+                ncols = n_out * RCOLS
+                cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, ncols), 0)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (wcols, ncols), 1)
+                qout = cidx // RCOLS
+                zout = cidx % RCOLS
                 z_src = cin // CPAD
                 c_src = cin % CPAD
                 zm = (z_src == zout) & (z_src < region)
+                ismom = qout < n_mom
+                S0 = zm & (
+                    (ismom & (c_src == qout))
+                    | (has_mass & (qout == n_mom) & (c_src == 12))
+                )
+                Sa = zm & ismom & (c_src == 3 + 3 * qout + 0)
+                Sb = zm & ismom & (c_src == 3 + 3 * qout + 1)
+                Sz = zm & ismom & (c_src == 3 + 3 * qout + 2)
                 xz = (oz + zout.astype(jnp.float32)) * scale
-                for q in range(n_mom):
-                    S0q = (zm & (c_src == q)).astype(jnp.float32)
-                    Saq = (zm & (c_src == 3 + 3 * q + 0)).astype(jnp.float32)
-                    Sbq = (zm & (c_src == 3 + 3 * q + 1)).astype(jnp.float32)
-                    Szq = (zm & (c_src == 3 + 3 * q + 2)).astype(
-                        jnp.float32) * xz
-                    Oq = (
-                        _mmk(acc, S0q) + xa * _mmk(acc, Saq)
-                        + xb * _mmk(acc, Sbq) + _mmk(acc, Szq)
-                    )
-                    out_ref[0, q] = Oq[:r2]
-                if has_mass:
-                    Sm = (zm & (c_src == 12)).astype(jnp.float32)
-                    out_ref[0, n_mom] = _mmk(acc, Sm)[:r2]
+                Oall = (
+                    _mmk(acc, S0.astype(jnp.float32))
+                    + xa * _mmk(acc, Sa.astype(jnp.float32))
+                    + xb * _mmk(acc, Sb.astype(jnp.float32))
+                    + _mmk(acc, Sz.astype(jnp.float32) * xz)
+                )  # (r2pad, n_out*RCOLS)
+                for q in range(n_out):
+                    out_ref[0, q] = Oall[:r2, q * RCOLS:(q + 1) * RCOLS]
 
     def run(packed, c2b):
         nch = packed.shape[0] // CHUNK
@@ -407,14 +417,21 @@ def _make_sweep_x_select(m: int, nb: int, n_out: int):
                 ref[0], region, BLOCK * region * ei, 0,
                 valid.astype(jnp.float32) * edge,
             )
-        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
-        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
+        # ONE batched de-interleave matmul: q folded into the lane dim
+        # of the selection matrix, per-q writes slice at aligned offsets
+        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, n_out * RCOLS), 0)
+        cidx = jax.lax.broadcasted_iota(
+            jnp.int32, (QCOLS, n_out * RCOLS), 1
+        )
+        qout = cidx // RCOLS
+        zout = cidx % RCOLS
         z_src = cin // CQ
         q_src = cin % CQ
+        Sall = ((z_src == zout) & (z_src < region)
+                & (q_src == qout)).astype(jnp.float32)
+        Oall = _mm(tot, Sall)  # (r2pad, n_out*RCOLS)
         for q in range(n_out):
-            Sq = ((z_src == zout) & (z_src < region)
-                  & (q_src == q)).astype(jnp.float32)
-            out_ref[0, q] = _mm(tot, Sq)[:r2]
+            out_ref[0, q] = Oall[:r2, q * RCOLS:(q + 1) * RCOLS]
 
     def run(acc):
         nb3 = nb * nb * nb
@@ -460,20 +477,28 @@ def _make_unsweep_x(m: int, nb: int, n_out: int):
         row = jax.lax.broadcasted_iota(jnp.int32, (r2pad, QCOLS), 0)
         a0 = row // region
 
-        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
-        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
-        z_src = cin // CQ
-        q_src = cin % CQ
+        # Sel^T for ALL channels as ONE dot: the per-channel cotangents
+        # lane-concatenate (aligned 128-lane blocks) and contract against
+        # the row-stacked transposed selections (q*RCOLS + z rows).
+        ridx = jax.lax.broadcasted_iota(
+            jnp.int32, (n_out * RCOLS, QCOLS), 0
+        )
+        cout = jax.lax.broadcasted_iota(
+            jnp.int32, (n_out * RCOLS, QCOLS), 1
+        )
+        qsel = ridx // RCOLS
+        z_in = ridx % RCOLS
+        z_dst = cout // CQ
+        q_dst = cout % CQ
+        Sall_t = ((z_in == z_dst) & (z_in < region)
+                  & (q_dst == qsel)).astype(jnp.float32)
 
         def sel_t(ref):
-            # Sel^T: per-channel (r2, RCOLS) -> interleaved (r2pad, QCOLS)
-            tot = jnp.zeros((r2pad, QCOLS), jnp.float32)
-            for q in range(n_out):
-                Sq = ((z_src == zout) & (z_src < region)
-                      & (q_src == q)).astype(jnp.float32)
-                d = jnp.pad(ref[0, q], ((0, r2pad - r2), (0, 0)))
-                tot = tot + _mm_t(d, Sq)
-            return tot
+            X = jnp.concatenate(
+                [ref[0, q] for q in range(n_out)], axis=1
+            )  # (r2, n_out*RCOLS)
+            X = jnp.pad(X, ((0, r2pad - r2), (0, 0)))
+            return _mm(X, Sall_t)  # (r2pad, QCOLS)
 
         tot = sel_t(x0_ref)
         # transpose of "out(i) += mask_e * roll_{+16R*e} in(i+e)":
@@ -571,14 +596,21 @@ def _make_unsweep_yz_compact(m: int, nb: int, n_out: int):
                     y = _roll(y, BLOCK * CQ * ek, 1)
                 tot = tot + y
 
-        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 0)
-        zout = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, RCOLS), 1)
+        # batched de-interleave (see _make_sweep_x_select): one dot, per-
+        # q writes at aligned lane offsets
+        cin = jax.lax.broadcasted_iota(jnp.int32, (QCOLS, n_out * RCOLS), 0)
+        cidx = jax.lax.broadcasted_iota(
+            jnp.int32, (QCOLS, n_out * RCOLS), 1
+        )
+        qout = cidx // RCOLS
+        zout = cidx % RCOLS
         z_src = cin // CQ
         q_src = cin % CQ
+        Sall = ((z_src == zout) & (z_src < region)
+                & (q_src == qout)).astype(jnp.float32)
+        Oall = _mm(tot, Sall)
         for q in range(n_out):
-            Sq = ((z_src == zout) & (z_src < region)
-                  & (q_src == q)).astype(jnp.float32)
-            out_ref[0, q] = _mm(tot, Sq)[:r2]
+            out_ref[0, q] = Oall[:r2, q * RCOLS:(q + 1) * RCOLS]
 
     def run(dbar):
         nb3 = nb * nb * nb

@@ -84,11 +84,12 @@ class Solver:
 
         rollout = sim.make_rollout_fn(action_overlay=overlay)
 
-        def total_loss_with_final(actions_v, action_p, loss_mask, lp):
+        def total_loss_with_final(actions_v, action_p, loss_mask, lp,
+                                  state0_, params_, aux_):
             acts = jnp.zeros((H, actions_v.shape[-1]), actions_v.dtype)
             acts = acts.at[:Ha].set(actions_v)
             final, step_out = rollout(
-                state0, params, acts, action_mask, action_p, aux,
+                state0_, params_, acts, action_mask, action_p, aux_,
                 loss_params=lp,
             )
             step_losses = step_out["step_loss"]
@@ -100,12 +101,23 @@ class Solver:
             )
             return total, (step_out, final_p)
 
+        # state0/params/aux enter as ARGUMENTS, not closure constants:
+        # baked-in loss targets are ~460 MB at the full LatteArt spec,
+        # and this remote-compile tunnel rejects program uploads that
+        # large (HTTP 413) — the segmented path always passed them as
+        # args, which is why it never hit the limit.
         @jax.jit
-        def fwd_bwd(actions_v, action_p, loss_mask, lp=None):
+        def fwd_bwd_full(actions_v, action_p, loss_mask, lp, state0_,
+                         params_, aux_):
             (tot, (step_out, final_p)), grads = jax.value_and_grad(
                 total_loss_with_final, argnums=(0, 1), has_aux=True
-            )(actions_v, action_p, loss_mask, lp)
+            )(actions_v, action_p, loss_mask, lp, state0_, params_, aux_)
             return tot, step_out, final_p, grads
+
+        def fwd_bwd(actions_v, action_p, loss_mask, lp=None):
+            return fwd_bwd_full(
+                actions_v, action_p, loss_mask, lp, state0, params, aux
+            )
 
         return fwd_bwd
 
@@ -113,6 +125,14 @@ class Solver:
         env = self.env
         cfg = self.cfg
         policy = env.trainable_policy(_sub(cfg, "optim"), _sub(cfg, "init_range"))
+        # optional warm start: resume a solve from a saved policy's
+        # action arrays (Adam moments restart — same as the reference
+        # resuming from a dumped policy pkl, optimizer/solver.py:40-44)
+        ws = _get(cfg, "warmstart")
+        if ws is not None:
+            policy.actions_v[:] = np.asarray(ws["actions_v"], np.float64)
+            if policy.actions_p is not None and ws.get("actions_p") is not None:
+                policy.actions_p[:] = np.asarray(ws["actions_p"], np.float64)
         loss = env.sim.loss
         fwd_bwd = self._build_fwd_bwd(policy)
         n_iters = _get(cfg, "n_iters", 100)

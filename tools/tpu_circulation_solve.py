@@ -37,10 +37,26 @@ print(f"env built: smoke res={env.smoke_res} jacobi="
       f"{env.smoke_solver_iters} H={env.horizon} ({time.time()-t0:.0f}s)",
       flush=True)
 cfg = __import__('fluidlab_tpu.config.experiments', fromlist=['load_config']).load_config('circulation')
+warmstart = None
+ws_pkl = os.environ.get("FL_SOLVE_WARMSTART")
+if ws_pkl:
+    import pickle as _pkl
+    with open(ws_pkl, "rb") as f:
+        warmstart = _pkl.load(f)
+    print(f"warm-starting from {ws_pkl}", flush=True)
 solver = Solver(env, cfg=dict(
     n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
     init_range=cfg["SOLVER"]["init_range"],
     optim=cfg["SOLVER"]["optim"],
+    warmstart=warmstart,
 ))
-solver.solve()
+policy = solver.solve()
+out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT")
+if out_pkl:
+    import pickle
+    import numpy as np
+    with open(out_pkl, "wb") as f:
+        pickle.dump({"actions_v": np.asarray(policy.actions_v),
+                     "actions_p": np.asarray(policy.actions_p)}, f)
+    print(f"policy -> {out_pkl}", flush=True)
 print("CIRCULATION TPU SOLVE: DONE", flush=True)

@@ -36,14 +36,26 @@ env.target_file = "/tmp/latte_tpu_target.pkl"
 print(f"env: N={env.sim.cfg.n_particles} transfers={env.sim.cfg.p2g_impl}/"
       f"{env.sim.cfg.g2p_impl} binning={env.sim.cfg.binning_mode} "
       f"({time.time()-t0:.0f}s)", flush=True)
-Recorder(env).record()
-print(f"target recorded ({time.time()-t0:.0f}s)", flush=True)
+if os.environ.get("FL_SKIP_RECORD") and os.path.exists("/tmp/latte_tpu_target.pkl"):
+    print("target exists, skipping record", flush=True)
+else:
+    Recorder(env).record()
+    print(f"target recorded ({time.time()-t0:.0f}s)", flush=True)
+
+warmstart = None
+ws_pkl = os.environ.get("FL_SOLVE_WARMSTART")
+if ws_pkl:
+    import pickle as _pkl
+    with open(ws_pkl, "rb") as f:
+        warmstart = _pkl.load(f)
+    print(f"warm-starting from {ws_pkl}", flush=True)
 
 env2 = SmallLatte(loss=True, seed=0)
 solver = Solver(env2, cfg=dict(
     n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
     init_range=dict(v=((0.,0.,0.),(0.,0.,0.)), p=((0.15,0.65,0.5),(0.15,0.65,0.5))),
     optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+    warmstart=warmstart,
 ))
 policy = solver.solve()
 out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT", "/tmp/latte_solved_policy.pkl")
