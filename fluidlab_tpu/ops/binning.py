@@ -211,6 +211,20 @@ def unpack_rows(res, order, valid, inv):
     return res[inv]
 
 
+def unpack_cols(res, order, valid, inv):
+    """(C, NPAD) slot-order columns -> (C, N) particle order (drops
+    dummies) — the column-oriented twin of ``unpack_rows`` for the
+    transposed kernels (FL_KORIENT=cols), which emit SoA rows
+    directly."""
+    if _PACK_MODE == "scatter":
+        n = inv.shape[0]
+        idx = jnp.where(valid > 0.5, order, n)  # dummies -> trash col
+        out = jnp.zeros(res.shape[:-1] + (n + 1,), res.dtype)
+        out = out.at[..., idx].set(res, unique_indices=True)
+        return out[..., :n]
+    return res[..., inv]
+
+
 def pin_rowmajor(x):
     """Materialize ``x`` in the default (minor-dim-last) layout.
 
@@ -230,6 +244,18 @@ def pin_rowmajor(x):
 
     flat = jax.lax.optimization_barrier(x.reshape(-1))
     return flat.reshape(x.shape)
+
+
+def chunk_active(valid):
+    """(NCH,) int32: 1 where the ALIGN-slot chunk holds >= 1 real
+    particle.  All-dummy chunks (aligned-CSR padding + the static tail
+    past ``starts[-1]``, ~6-11% of slots at 65k) contribute exact zeros
+    to every chunked kernel; the kernels pl.when-skip their compute and
+    write zero out rows."""
+    nch = valid.shape[0] // ALIGN
+    return (
+        valid.reshape(nch, ALIGN).max(axis=1) > 0
+    ).astype(jnp.int32)
 
 
 def chunk_to_block(starts, npad: int):

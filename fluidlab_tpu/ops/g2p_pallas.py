@@ -63,8 +63,24 @@ def _make_g2p_blocks(m: int, use_mxu: bool):
     r2 = region * region
     r2pad = _r2pad(m)
 
-    def kernel(c2b_ref, packed_ref, regions_ref, *rest):
+    def kernel(c2b_ref, act_ref, packed_ref, regions_ref, *rest):
         del c2b_ref  # used only by the index maps
+        out_ref = rest[-1]
+
+        # all-dummy chunks (CSR padding): rows are discarded downstream
+        # (valid mask / inert slots) but the out block must still be
+        # written — zeros, skipping the mask builds and contractions
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            _body(packed_ref, regions_ref, rest)
+
+    def _body(packed_ref, regions_ref, rest):
         out_ref = rest[-1]
         rvals = regions_ref[0]  # (3, r2, RCOLS)
 
@@ -148,26 +164,30 @@ def _make_g2p_blocks(m: int, use_mxu: bool):
         )  # (CHUNK, 12)
         out_ref[...] = jnp.pad(packed_out, ((0, 0), (0, OUTC - 12)))
 
-    def g2p_blocks(packed, regions, c2b, nb: int, n_pad: int):
+    def g2p_blocks(packed, regions, c2b, nb: int, n_pad: int, active=None):
         nch = packed.shape[0] // CHUNK
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
         in_specs = [
-            pl.BlockSpec((CHUNK, PACKG), lambda i, c2b: (i, 0)),
+            pl.BlockSpec((CHUNK, PACKG), lambda i, c2b, act: (i, 0)),
             pl.BlockSpec(
-                (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                (1, 3, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
             ),
         ]
-        args = [c2b, packed, regions]
+        args = [c2b, active, packed, regions]
         if use_mxu:
             cm = jnp.asarray(_consts_np(m))
             in_specs.append(
-                pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0))
+                pl.BlockSpec(cm.shape, lambda i, c2b, act: (0, 0))
             )
             args.append(cm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nch,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((CHUNK, OUTC), lambda i, c2b: (i, 0)),
+            out_specs=pl.BlockSpec(
+                (CHUNK, OUTC), lambda i, c2b, act: (i, 0)
+            ),
         )
         return pl.pallas_call(
             kernel,

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fluidlab_tpu.ops.binning import ALIGN, BLOCK, chunk_to_block
+from fluidlab_tpu.ops.binning import (ALIGN, BLOCK, chunk_active,
+                                      chunk_to_block)
 from fluidlab_tpu.ops.p2g_pallas import CPAD, PACK, _r2pad, _region
 from fluidlab_tpu.ops.masks import use_mxu as _use_mxu
 
@@ -154,7 +155,7 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
     def _mmk(a, b):
         return _adotk(a, b, (((1,), (0,)), ((), ())))
 
-    def kernel(c2b_ref, packed_ref, *rest):
+    def kernel(c2b_ref, act_ref, packed_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
         i = pl.program_id(0)
         nch = pl.num_programs(0)
@@ -170,43 +171,48 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        pk = packed_ref[...]  # (CHUNK, PACK)
-        wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
-        fvals = pk[:, 12:12 + CPAD]
+        # all-dummy chunks (aligned-CSR padding + the static tail past
+        # starts[-1], ~6-11% of chunk rows at 65k) contribute exact
+        # zeros — skip their mask builds and dots entirely
+        @pl.when(act_ref[i] != 0)
+        def _():
+            pk = packed_ref[...]  # (CHUNK, PACK)
+            wvals = (pk[:, 0:3], pk[:, 3:6], pk[:, 6:9])
+            fvals = pk[:, 12:12 + CPAD]
 
-        if use_mxu:
-            # MXU/constant-operand mask builds (ops/masks.py)
-            cm = rest[0][...]
-            mzw = rest[1][...]
-            jcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-            T = (
-                mm_ew(make_ew(jcol, wvals[0], pk[:, 9:10]), cm[0:128])
-                * mm_ew(make_ew(jcol, wvals[1], pk[:, 10:11]), cm[128:256])
-            )
-            feats_tiled = _mmk(fvals, mzw[128:128 + CPAD])
-            W2 = mm_ew(
-                make_ew(jcol, wvals[2], pk[:, 11:12]), mzw[0:128]
-            ) * feats_tiled
-        else:
-            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
-            a_col = jnp.minimum(col // region, region - 1)
-            b_col = col % region
-            col_valid = (col < r2).astype(jnp.float32)
-            wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wcols), 1)
-            c_wcol = wcol // CPAD
-            p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 0)
-            p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
-            p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
-            lvals = pk[:, 9:12].astype(jnp.int32)
-            T = (
-                _onehot_w(wvals[0], lvals[:, 0:1], a_col)
-                * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
-                * col_valid
-            )
-            feats_tiled = _mmk(fvals, p_tile)
-            W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
+            if use_mxu:
+                # MXU/constant-operand mask builds (ops/masks.py)
+                cm = rest[0][...]
+                mzw = rest[1][...]
+                jcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+                T = (
+                    mm_ew(make_ew(jcol, wvals[0], pk[:, 9:10]), cm[0:128])
+                    * mm_ew(make_ew(jcol, wvals[1], pk[:, 10:11]), cm[128:256])
+                )
+                feats_tiled = _mmk(fvals, mzw[128:128 + CPAD])
+                W2 = mm_ew(
+                    make_ew(jcol, wvals[2], pk[:, 11:12]), mzw[0:128]
+                ) * feats_tiled
+            else:
+                col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, r2pad), 1)
+                a_col = jnp.minimum(col // region, region - 1)
+                b_col = col % region
+                col_valid = (col < r2).astype(jnp.float32)
+                wcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wcols), 1)
+                c_wcol = wcol // CPAD
+                p_rows = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 0)
+                p_cols = jax.lax.broadcasted_iota(jnp.int32, (CPAD, wcols), 1)
+                p_tile = (p_cols % CPAD == p_rows).astype(jnp.float32)
+                lvals = pk[:, 9:12].astype(jnp.int32)
+                T = (
+                    _onehot_w(wvals[0], lvals[:, 0:1], a_col)
+                    * _onehot_w(wvals[1], lvals[:, 1:2], b_col)
+                    * col_valid
+                )
+                feats_tiled = _mmk(fvals, p_tile)
+                W2 = _onehot_w(wvals[2], lvals[:, 2:3], c_wcol) * feats_tiled
 
-        acc_ref[...] += _adotk(T, W2, (((0,), (0,)), ((), ())))
+            acc_ref[...] += _adotk(T, W2, (((0,), (0,)), ((), ())))
 
         @pl.when(last)
         def _():
@@ -259,33 +265,35 @@ def _make_accumulate_regions(m: int, nb: int, n_mom: int, has_mass: bool,
                 for q in range(n_out):
                     out_ref[0, q] = Oall[:r2, q * RCOLS:(q + 1) * RCOLS]
 
-    def run(packed, c2b):
+    def run(packed, c2b, active=None):
         nch = packed.shape[0] // CHUNK
         nb3 = nb * nb * nb
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
         if select_out:
             out_shape = jax.ShapeDtypeStruct(
                 (nb3, n_out, r2, RCOLS), jnp.float32
             )
             out_spec = pl.BlockSpec(
-                (1, n_out, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                (1, n_out, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
             )
         else:
             out_shape = jax.ShapeDtypeStruct((nb3, r2pad, QCOLS), jnp.float32)
             out_spec = pl.BlockSpec(
-                (1, r2pad, QCOLS), lambda i, c2b: (c2b[i], 0, 0)
+                (1, r2pad, QCOLS), lambda i, c2b, act: (c2b[i], 0, 0)
             )
-        in_specs = [pl.BlockSpec((CHUNK, PACK), lambda i, c2b: (i, 0))]
-        args = [c2b, packed]
+        in_specs = [pl.BlockSpec((CHUNK, PACK), lambda i, c2b, act: (i, 0))]
+        args = [c2b, active, packed]
         if use_mxu:
             cm = jnp.asarray(_consts_np(m))
             mzw = jnp.asarray(_consts_wcols_np(m))
             in_specs += [
-                pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0)),
-                pl.BlockSpec(mzw.shape, lambda i, c2b: (0, 0)),
+                pl.BlockSpec(cm.shape, lambda i, c2b, act: (0, 0)),
+                pl.BlockSpec(mzw.shape, lambda i, c2b, act: (0, 0)),
             ]
             args += [cm, mzw]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nch,),
             in_specs=in_specs,
             out_specs=out_spec,
@@ -944,6 +952,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         packed = _pack13(w, base, feats13, order, valid, inv, block, m,
                          presorted)
         c2b = chunk_to_block(starts, packed.shape[0])
+        active = chunk_active(valid)
         N = fx.shape[-1]
         npad = packed.shape[0]
 
@@ -953,7 +962,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         sxs = _make_sweep_x_select(m, nb, 4)
 
         def run_acc():
-            return acc_fn(packed, c2b)
+            return acc_fn(packed, c2b, active)
 
         if interpret:
             with pltpu.force_tpu_interpret_mode():
@@ -983,9 +992,9 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         g2p_fn = _make_g2p_blocks(m, _use_mxu())
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                out = g2p_fn(packed, vreg, c2b, nb, npad)
+                out = g2p_fn(packed, vreg, c2b, nb, npad, active)
         else:
-            out = g2p_fn(packed, vreg, c2b, nb, npad)
+            out = g2p_fn(packed, vreg, c2b, nb, npad, active)
 
         res = out[:npad, :12]
         if not presorted:
@@ -1037,14 +1046,15 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         packed = _pack_bwd_merged(w, wp, base, feats12, feats13, order,
                                   valid, inv, block, m, presorted)
         c2b = chunk_to_block(starts, packed.shape[0])
+        active = chunk_active(valid)
         npad = packed.shape[0]
         acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
                                           _use_mxu(), grad=True)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                d_vreg = acc_fn(packed, c2b)
+                d_vreg = acc_fn(packed, c2b, active)
         else:
-            d_vreg = acc_fn(packed, c2b)
+            d_vreg = acc_fn(packed, c2b, active)
 
         # 2. grid_op VJP (pointwise XLA, recomputed from the saved
         # gridreg) -> region cotangent + vop cotangents + vreg primal
@@ -1067,7 +1077,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
 
         def run_bwd():
             compact = uyz(usx(d_gridreg))
-            return mk(packed, compact, vreg, c2b, npad)
+            return mk(packed, compact, vreg, c2b, npad, active)
 
         if interpret:
             with pltpu.force_tpu_interpret_mode():

@@ -449,7 +449,21 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int,
     OWP = 12 + cpad
     OF13 = 21 + cpad
 
-    def kernel(c2b_ref, packed_ref, compact_ref, vreg_ref, *rest):
+    def kernel(c2b_ref, act_ref, packed_ref, compact_ref, vreg_ref, *rest):
+        out_ref = rest[-1]
+        i = pl.program_id(0)
+
+        # all-dummy chunks (CSR padding): zero the out rows, skip the
+        # mask builds and the 7-channel stacked contraction
+        @pl.when(act_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            _mbody(c2b_ref, packed_ref, compact_ref, vreg_ref, rest)
+
+    def _mbody(c2b_ref, packed_ref, compact_ref, vreg_ref, rest):
         out_ref = rest[-1]
         i = pl.program_id(0)
         b = c2b_ref[i]
@@ -586,27 +600,33 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int,
         out = jnp.stack(rows, axis=1)  # (CHUNK, 16)
         out_ref[...] = jnp.pad(out, ((0, 0), (0, OUTB - 16)))
 
-    def run(packed, compact, vregions, c2b, n_pad: int):
+    def run(packed, compact, vregions, c2b, n_pad: int, active=None):
         nch = packed.shape[0] // CHUNK
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
         in_specs = [
-            pl.BlockSpec((CHUNK, PACKB), lambda i, c2b: (i, 0)),
+            pl.BlockSpec((CHUNK, PACKB), lambda i, c2b, act: (i, 0)),
             pl.BlockSpec(
-                (1, 4, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                (1, 4, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 3, r2, RCOLS), lambda i, c2b: (c2b[i], 0, 0, 0)
+                (1, 3, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
             ),
         ]
-        args = [c2b, packed, compact, vregions]
+        args = [c2b, active, packed, compact, vregions]
         if use_mxu:
             cm = jnp.asarray(_consts_np(m))
-            in_specs.append(pl.BlockSpec(cm.shape, lambda i, c2b: (0, 0)))
+            in_specs.append(
+                pl.BlockSpec(cm.shape, lambda i, c2b, act: (0, 0))
+            )
             args.append(cm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nch,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((CHUNK, OUTB), lambda i, c2b: (i, 0)),
+            out_specs=pl.BlockSpec(
+                (CHUNK, OUTB), lambda i, c2b, act: (i, 0)
+            ),
         )
         return pl.pallas_call(
             kernel,
