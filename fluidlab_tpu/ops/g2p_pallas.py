@@ -198,6 +198,112 @@ def _make_g2p_blocks(m: int, use_mxu: bool):
     return g2p_blocks
 
 
+@functools.lru_cache(maxsize=None)
+def _make_g2p_blocks_t(m: int):
+    """Column-oriented twin of ``_make_g2p_blocks`` (FL_KORIENT=cols):
+    reads the (R, NPAD) sorted SoA buffer as column blocks (rows 0:12 =
+    w9 + lb), emits (16, NPAD) SoA rows [S0(3) | S1loc(9) | pad] — no
+    pack/unpack transposes, ab at 328 sublanes instead of 384 lanes."""
+    from fluidlab_tpu.ops.masks import acc_dot
+    from fluidlab_tpu.ops.p2g_pallas import _r2s as _r2s_fn
+    from fluidlab_tpu.ops.regions_pallas import _onehot_w_t
+
+    region = _region(m)
+    r2 = region * region
+    r2s = _r2s_fn(m)
+    OUTR = 16
+
+    def kernel(c2b_ref, act_ref, packed_ref, regions_ref, out_ref):
+        del c2b_ref
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            _body(packed_ref, regions_ref, out_ref)
+
+    def _body(packed_ref, regions_ref, out_ref):
+        rvals = regions_ref[0]  # (3, r2, RCOLS)
+        pk = packed_ref[...]    # (R, CHUNK)
+        lbi = pk[9:12].astype(jnp.int32)
+
+        zrow = jax.lax.broadcasted_iota(jnp.int32, (RCOLS, 1), 0)
+        zv = (zrow < region).astype(jnp.float32)
+        Wz = _onehot_w_t(pk[6:9], lbi[2:3], zrow) * zv  # (RCOLS, CHUNK)
+        Wz_c = Wz * zrow.astype(jnp.float32)
+
+        # stacked z-contraction: channel-stacked regions (zero rows up
+        # to r2s keep the row slices tile-aligned) against [Wz | Wz*z]
+        zrows = jnp.zeros((r2s - r2, RCOLS), jnp.float32)
+        rr = jnp.concatenate(
+            [rvals[0], zrows, rvals[1], zrows, rvals[2], zrows], axis=0
+        )  # (3*r2s, RCOLS)
+        lhs = jnp.concatenate([Wz, Wz_c], axis=1)  # (RCOLS, 2*CHUNK)
+        zc = acc_dot(rr, lhs, (((1,), (0,)), ((), ())))  # (3*r2s, 2*CHUNK)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2s, 1), 0)
+        a_row = jnp.minimum(row // region, region - 1)
+        b_row = row % region
+        rv = (row < r2).astype(jnp.float32)
+        T = (
+            _onehot_w_t(pk[0:3], lbi[0:1], a_row)
+            * _onehot_w_t(pk[3:6], lbi[1:2], b_row)
+            * rv
+        )  # (r2s, CHUNK)
+        T_a = T * a_row.astype(jnp.float32)
+        T_b = T * b_row.astype(jnp.float32)
+
+        outs = []
+        for ch in range(3):
+            gz = zc[ch * r2s:(ch + 1) * r2s, 0:CHUNK]
+            gzc = zc[ch * r2s:(ch + 1) * r2s, CHUNK:2 * CHUNK]
+            outs += [
+                jnp.sum(T * gz, axis=0),     # s0
+                jnp.sum(T_a * gz, axis=0),   # x-moment
+                jnp.sum(T_b * gz, axis=0),   # y-moment
+                jnp.sum(T * gzc, axis=0),    # z-moment
+            ]
+
+        # rows: [S0_x S0_y S0_z | S1 row-major (g_i x local_d)]
+        packed_out = jnp.stack(
+            [outs[0], outs[4], outs[8],
+             outs[1], outs[2], outs[3],
+             outs[5], outs[6], outs[7],
+             outs[9], outs[10], outs[11]],
+            axis=0,
+        )  # (12, CHUNK)
+        out_ref[...] = jnp.pad(packed_out, ((0, OUTR - 12), (0, 0)))
+
+    def g2p_blocks(packed, regions, c2b, nb: int, n_pad: int, active=None):
+        nch = packed.shape[-1] // CHUNK
+        nr = packed.shape[0]
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec((nr, CHUNK), lambda i, c2b, act: (0, i)),
+                pl.BlockSpec(
+                    (1, 3, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (OUTR, CHUNK), lambda i, c2b, act: (0, i)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((OUTR, n_pad), jnp.float32),
+            grid_spec=grid_spec,
+        )(c2b, active, packed, regions)
+
+    return g2p_blocks
+
+
 def _build_regions(v_out, G: int, nb: int, m: int = 0):
     """(C, G^3) grid -> (NB^3, C, r2, RCOLS) overlapping halo regions via
     static slices (no gathers).  Region of block b covers global cells

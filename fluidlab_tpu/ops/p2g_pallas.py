@@ -79,6 +79,15 @@ def _r2pad(m: int) -> int:
     return ((r2 + 127) // 128) * 128
 
 
+def _r2s(m: int) -> int:
+    """ab extent padded to sublanes (8) — the transposed kernels
+    (FL_KORIENT=cols) keep ab in the second-minor dim, where the tile
+    constraint is 8, not 128: 324 -> 328 instead of 384 (15% less
+    mask/reduction/dot work per chunk)."""
+    r2 = _region(m) ** 2
+    return ((r2 + 7) // 8) * 8
+
+
 # kept as module constants for the exact (m=0) config, used by tests and
 # by ops/g2p_pallas.py
 REGION = _region(0)   # 18

@@ -760,6 +760,240 @@ def _make_unsweep_yz_expand(m: int, nb: int, n_mom: int, has_mass: bool,
 
 # ------------------------------------------------------------ public ops
 
+# ---------------------------------------------- transposed (cols) variants
+#
+# FL_KORIENT=cols: the chunked kernels read the engine's SoA (C, N)
+# layout directly as (rows, CHUNK) column blocks — particles in lanes,
+# ab/z extents in sublanes.  This removes the (C, N) -> (NPAD, 128)
+# pack transposes, the 128-col pads and the output-side relayouts
+# (~1.5 ms/substep of XLA glue at 65k, r3 trace), and shrinks the ab
+# extent from 384 lanes to 328 sublanes (the sublane tile is 8, not
+# 128) — ~15% off every mask build, reduction and ab-sided dot.
+
+_KORIENT = __import__("os").environ.get("FL_KORIENT", "cols")
+
+
+def _onehot_w_t(w3, lb, ids):
+    """W[row, p] = w3[ids[row, p] - lb[p]] for offsets 0..2 — the
+    column-oriented twin of ``_onehot_w``: w3 (3, CHUNK) offset rows,
+    lb (1, CHUNK) int, ids (EXT, 1) or (EXT, CHUNK) int row lattice."""
+    off = ids - lb
+    out = jnp.zeros(off.shape, jnp.float32)
+    for o in range(3):
+        out = out + jnp.where(off == o, w3[o:o + 1, :], 0.0)
+    return out
+
+
+def _pack13_t(fx, lbase_global, feats, order, valid, inv, block, m,
+              presorted):
+    """Transposed pack: sorted SoA rows (R, NPAD) — no transpose, no
+    128-col pad.  Spline weights are computed AFTER the slot sort (3 fx
+    rows sorted instead of 9 weight rows); dummy slots get fx = 0 whose
+    weights are killed by the valid mask on the x-axis rows (zeroing
+    one factor of T zeroes the particle's whole stencil)."""
+    from fluidlab_tpu.core.bspline import quadratic_weights_soa
+    from fluidlab_tpu.ops.binning import pack_rows, pin_rowmajor
+
+    C = feats.shape[0]
+    lb = (lbase_global - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate([fx, lb, feats], axis=0)  # (6 + C, N)
+    if not presorted:
+        rows = pack_rows(rows, order, inv)
+    # (offset, axis, N) -> axis-major rows [ax0: o0..o2 | ax1 | ax2]
+    w9 = quadratic_weights_soa(rows[0:3]).transpose(1, 0, 2).reshape(9, -1)
+    if not presorted:
+        w9 = jnp.concatenate([w9[:3] * valid[None, :], w9[3:]], axis=0)
+    out = jnp.concatenate([w9, rows[3:]], axis=0)  # (12 + C, NPAD)
+    nr = max(12 + C, 12 + CPAD)
+    nr = ((nr + 7) // 8) * 8
+    out = jnp.pad(out, ((0, nr - out.shape[0]), (0, 0)))
+    if presorted:
+        out = pin_rowmajor(out)
+    return out
+
+
+def _pack_bwd_merged_t(fx, feats12, feats13, lbase_global, order, valid,
+                       inv, block, m, presorted):
+    """Transposed twin of ``_pack_bwd_merged``: row layout
+    [w(9) lb(3) f12(12) pad(CPAD-12) wp(9) f13(13)] as SoA rows, both
+    weight sets computed post-sort from the 3 sorted fx rows."""
+    from fluidlab_tpu.core.bspline import (
+        quadratic_dweights_soa,
+        quadratic_weights_soa,
+    )
+    from fluidlab_tpu.ops.binning import pack_rows, pin_rowmajor
+
+    lb = (lbase_global - block * BLOCK + m).astype(jnp.float32)
+    rows = jnp.concatenate([fx, lb, feats12, feats13], axis=0)  # (31, N)
+    if not presorted:
+        rows = pack_rows(rows, order, inv)
+    fx_s = rows[0:3]
+    # (offset, axis, N) -> axis-major rows [ax0: o0..o2 | ax1 | ax2]
+    w9 = quadratic_weights_soa(fx_s).transpose(1, 0, 2).reshape(9, -1)
+    wp9 = quadratic_dweights_soa(fx_s).transpose(1, 0, 2).reshape(9, -1)
+    if not presorted:
+        w9 = jnp.concatenate([w9[:3] * valid[None, :], w9[3:]], axis=0)
+    npad_n = rows.shape[-1]
+    zpad = jnp.zeros((CPAD - 12, npad_n), rows.dtype)
+    out = jnp.concatenate([
+        w9, rows[3:6], rows[6:18], zpad, wp9, rows[18:31],
+    ], axis=0)  # (34 + CPAD, NPAD)
+    nr = ((out.shape[0] + 7) // 8) * 8
+    out = jnp.pad(out, ((0, nr - out.shape[0]), (0, 0)))
+    if presorted:
+        out = pin_rowmajor(out)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_accumulate_regions_t(m: int, nb: int, n_mom: int,
+                               has_mass: bool, scale: float,
+                               select_out: bool, grad: bool = False):
+    """Column-oriented twin of ``_make_accumulate_regions``: reads the
+    (R, NPAD) sorted SoA buffer as (R, CHUNK) column blocks, builds the
+    ab masks at 328 sublanes instead of 384 lanes, and contracts over
+    the particle LANES.  The accumulator and epilogue are the same
+    (ab rows x zc cols) algebra."""
+    from fluidlab_tpu.ops.p2g_pallas import _r2s as _r2s_fn
+
+    region = _region(m)
+    r2 = region * region
+    r2pad = _r2pad(m)
+    r2s = _r2s_fn(m)
+    wcols = region * CPAD
+    n_out = n_mom + (1 if has_mass else 0)
+
+    from fluidlab_tpu.ops.masks import acc_dot as _adot
+    from fluidlab_tpu.ops.masks import grad_dot_mode as _gmode
+
+    def _adotk(a, b, dims):
+        return _adot(a, b, dims, mode=_gmode() if grad else None)
+
+    def _mmk(a, b):
+        return _adotk(a, b, (((1,), (0,)), ((), ())))
+
+    def kernel(c2b_ref, act_ref, packed_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+        nch = pl.num_programs(0)
+        first = jnp.where(
+            i == 0, True, c2b_ref[i] != c2b_ref[jnp.maximum(i - 1, 0)]
+        )
+        last = jnp.where(
+            i == nch - 1, True,
+            c2b_ref[i] != c2b_ref[jnp.minimum(i + 1, nch - 1)],
+        )
+
+        @pl.when(first)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            pk = packed_ref[...]  # (R, CHUNK)
+            lbi = pk[9:12].astype(jnp.int32)
+            feats = pk[12:12 + CPAD]  # (CPAD, CHUNK)
+
+            row = jax.lax.broadcasted_iota(jnp.int32, (r2s, 1), 0)
+            a_row = jnp.minimum(row // region, region - 1)
+            b_row = row % region
+            rv = (row < r2).astype(jnp.float32)
+            T = (
+                _onehot_w_t(pk[0:3], lbi[0:1], a_row)
+                * _onehot_w_t(pk[3:6], lbi[1:2], b_row)
+                * rv
+            )  # (r2s, CHUNK)
+
+            wrow = jax.lax.broadcasted_iota(jnp.int32, (wcols, 1), 0)
+            c_wrow = wrow // CPAD
+            p_rows = jax.lax.broadcasted_iota(jnp.int32, (wcols, CPAD), 0)
+            p_cols = jax.lax.broadcasted_iota(jnp.int32, (wcols, CPAD), 1)
+            p_tile = (p_rows % CPAD == p_cols).astype(jnp.float32)
+            feats_tiled = _mmk(p_tile, feats)  # (wcols, CHUNK)
+            W2 = _onehot_w_t(pk[6:9], lbi[2:3], c_wrow) * feats_tiled
+
+            acc_ref[...] += _adotk(
+                T, W2, (((1,), (1,)), ((), ()))
+            )  # (r2s, wcols)
+
+        @pl.when(last)
+        def _():
+            b = c2b_ref[i]
+            bi = b // (nb * nb)
+            bj = (b // nb) % nb
+            bk = b % nb
+            oa = (bi * BLOCK - m).astype(jnp.float32)
+            ob = (bj * BLOCK - m).astype(jnp.float32)
+            oz = (bk * BLOCK - m).astype(jnp.float32)
+            acc = acc_ref[...]
+            xa, xb = _row_coords(region, r2s, scale, oa, ob)
+            if not select_out:
+                S0, Sa, Sb, Szs = _combine_mats(
+                    region, r2s, wcols, n_mom, has_mass, oz, scale
+                )
+                O = (
+                    _mmk(acc, S0) + xa * _mmk(acc, Sa)
+                    + xb * _mmk(acc, Sb) + _mmk(acc, Szs)
+                )  # (r2s, QCOLS)
+                out_ref[0] = jnp.pad(O, ((0, r2pad - r2s), (0, 0)))
+            else:
+                ncols = n_out * RCOLS
+                cin = jax.lax.broadcasted_iota(jnp.int32, (wcols, ncols), 0)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (wcols, ncols), 1)
+                qout = cidx // RCOLS
+                zout = cidx % RCOLS
+                z_src = cin // CPAD
+                c_src = cin % CPAD
+                zm = (z_src == zout) & (z_src < region)
+                ismom = qout < n_mom
+                S0 = zm & (
+                    (ismom & (c_src == qout))
+                    | (has_mass & (qout == n_mom) & (c_src == 12))
+                )
+                Sa = zm & ismom & (c_src == 3 + 3 * qout + 0)
+                Sb = zm & ismom & (c_src == 3 + 3 * qout + 1)
+                Sz = zm & ismom & (c_src == 3 + 3 * qout + 2)
+                xz = (oz + zout.astype(jnp.float32)) * scale
+                Oall = (
+                    _mmk(acc, S0.astype(jnp.float32))
+                    + xa * _mmk(acc, Sa.astype(jnp.float32))
+                    + xb * _mmk(acc, Sb.astype(jnp.float32))
+                    + _mmk(acc, Sz.astype(jnp.float32) * xz)
+                )  # (r2s, n_out*RCOLS)
+                for q in range(n_out):
+                    out_ref[0, q] = Oall[:r2, q * RCOLS:(q + 1) * RCOLS]
+
+    def run(packed, c2b, active=None):
+        npad_n = packed.shape[-1]
+        nch = npad_n // CHUNK
+        nb3 = nb * nb * nb
+        nr = packed.shape[0]
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
+        if select_out:
+            out_shape = jax.ShapeDtypeStruct(
+                (nb3, n_out, r2, RCOLS), jnp.float32
+            )
+            out_spec = pl.BlockSpec(
+                (1, n_out, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
+            )
+        else:
+            out_shape = jax.ShapeDtypeStruct((nb3, r2pad, QCOLS), jnp.float32)
+            out_spec = pl.BlockSpec(
+                (1, r2pad, QCOLS), lambda i, c2b, act: (c2b[i], 0, 0)
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nch,),
+            in_specs=[pl.BlockSpec((nr, CHUNK), lambda i, c2b, act: (0, i))],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((r2s, wcols), jnp.float32)],
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape,
+                              grid_spec=grid_spec)(c2b, active, packed)
+
+    return run
+
+
 def _pack13(w, lbase_global, feats, order, valid, inv, block, m, presorted):
     """Shared packing prologue (ops/p2g_pallas.py layout)."""
     lb = (lbase_global - block * BLOCK + m).astype(jnp.float32)
@@ -947,17 +1181,26 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
     nb = G // BLOCK
     scale_p = _dx_scale(G)
 
+    use_cols = _KORIENT == "cols"
+
     def _fwd(fx, base, feats13, vop, order, valid, inv, starts, block):
-        w = quadratic_weights_soa(fx)
-        packed = _pack13(w, base, feats13, order, valid, inv, block, m,
-                         presorted)
-        c2b = chunk_to_block(starts, packed.shape[0])
+        if use_cols:
+            packed = _pack13_t(fx, base, feats13, order, valid, inv,
+                               block, m, presorted)
+            npad = packed.shape[-1]
+            acc_fn = _make_accumulate_regions_t(m, nb, 3, True, scale_p,
+                                                False)
+        else:
+            w = quadratic_weights_soa(fx)
+            packed = _pack13(w, base, feats13, order, valid, inv, block,
+                             m, presorted)
+            npad = packed.shape[0]
+            acc_fn = _make_accumulate_regions(m, nb, 3, True, scale_p,
+                                              False, _use_mxu())
+        c2b = chunk_to_block(starts, npad)
         active = chunk_active(valid)
         N = fx.shape[-1]
-        npad = packed.shape[0]
 
-        acc_fn = _make_accumulate_regions(m, nb, 3, True, scale_p, False,
-                                          _use_mxu())
         syz = _make_sweep_yz(m, nb)
         sxs = _make_sweep_x_select(m, nb, 4)
 
@@ -989,23 +1232,39 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
 
         vreg = gridop_fn(gridreg, vop)
 
-        g2p_fn = _make_g2p_blocks(m, _use_mxu())
+        if use_cols:
+            from fluidlab_tpu.ops.g2p_pallas import _make_g2p_blocks_t
+
+            g2p_fn = _make_g2p_blocks_t(m)
+        else:
+            g2p_fn = _make_g2p_blocks(m, _use_mxu())
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 out = g2p_fn(packed, vreg, c2b, nb, npad, active)
         else:
             out = g2p_fn(packed, vreg, c2b, nb, npad, active)
 
-        res = out[:npad, :12]
-        if not presorted:
-            from fluidlab_tpu.ops.binning import unpack_rows
+        if use_cols:
+            res = out[:12]  # (12, NPAD) SoA rows straight off the kernel
+            if not presorted:
+                from fluidlab_tpu.ops.binning import unpack_cols
 
-            res = unpack_rows(res, order, valid, inv)
-        res_t = res.T
-        if presorted:
-            from fluidlab_tpu.ops.binning import pin_rowmajor
+                res_t = unpack_cols(res, order, valid, inv)
+            else:
+                from fluidlab_tpu.ops.binning import pin_rowmajor
 
-            res_t = pin_rowmajor(res_t)
+                res_t = pin_rowmajor(res)
+        else:
+            res = out[:npad, :12]
+            if not presorted:
+                from fluidlab_tpu.ops.binning import unpack_rows
+
+                res = unpack_rows(res, order, valid, inv)
+            res_t = res.T
+            if presorted:
+                from fluidlab_tpu.ops.binning import pin_rowmajor
+
+                res_t = pin_rowmajor(res_t)
         S0 = res_t[:3]
         S1loc = res_t[3:12]
         borig = (block * BLOCK - m).astype(jnp.float32)
@@ -1040,16 +1299,25 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         # 1. d_vregions: each block's own particles only touch its own
         # region (no halo merge in this direction) — one accumulate
         # kernel over the cotangent features, global cell coordinates.
-        w = quadratic_weights_soa(fx)
-        wp = quadratic_dweights_soa(fx)
         feats12 = jnp.concatenate([S0bar, S1bar], axis=0)
-        packed = _pack_bwd_merged(w, wp, base, feats12, feats13, order,
-                                  valid, inv, block, m, presorted)
-        c2b = chunk_to_block(starts, packed.shape[0])
+        if use_cols:
+            packed = _pack_bwd_merged_t(fx, feats12, feats13, base,
+                                        order, valid, inv, block, m,
+                                        presorted)
+            npad = packed.shape[-1]
+            acc_fn = _make_accumulate_regions_t(m, nb, 3, False, 1.0,
+                                                True, grad=True)
+        else:
+            w = quadratic_weights_soa(fx)
+            wp = quadratic_dweights_soa(fx)
+            packed = _pack_bwd_merged(w, wp, base, feats12, feats13,
+                                      order, valid, inv, block, m,
+                                      presorted)
+            npad = packed.shape[0]
+            acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
+                                              _use_mxu(), grad=True)
+        c2b = chunk_to_block(starts, npad)
         active = chunk_active(valid)
-        npad = packed.shape[0]
-        acc_fn = _make_accumulate_regions(m, nb, 3, False, 1.0, True,
-                                          _use_mxu(), grad=True)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 d_vreg = acc_fn(packed, c2b, active)
@@ -1073,7 +1341,14 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         # 3. transposed sweeps -> compact 4-channel accumulate cotangent
         usx = _make_unsweep_x(m, nb, 4)
         uyz = _make_unsweep_yz_compact(m, nb, 4)
-        mk = _make_bwd_kernel_merged(m, nb, scale_p, CPAD, _use_mxu())
+        if use_cols:
+            from fluidlab_tpu.ops.transfer_bwd_pallas import (
+                _make_bwd_kernel_merged_t,
+            )
+
+            mk = _make_bwd_kernel_merged_t(m, nb, scale_p, CPAD)
+        else:
+            mk = _make_bwd_kernel_merged(m, nb, scale_p, CPAD, _use_mxu())
 
         def run_bwd():
             compact = uyz(usx(d_gridreg))
@@ -1085,16 +1360,27 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
         else:
             out = run_bwd()
 
-        rows = out[:npad, :16]
-        if not presorted:
-            from fluidlab_tpu.ops.binning import unpack_rows
+        if use_cols:
+            rows = out[:16]  # (16, NPAD) SoA rows straight off the kernel
+            if not presorted:
+                from fluidlab_tpu.ops.binning import unpack_cols
 
-            rows = unpack_rows(rows, order, valid, inv)
-        rows_t = rows.T
-        if presorted:
-            from fluidlab_tpu.ops.binning import pin_rowmajor
+                rows_t = unpack_cols(rows, order, valid, inv)
+            else:
+                from fluidlab_tpu.ops.binning import pin_rowmajor
 
-            rows_t = pin_rowmajor(rows_t)
+                rows_t = pin_rowmajor(rows)
+        else:
+            rows = out[:npad, :16]
+            if not presorted:
+                from fluidlab_tpu.ops.binning import unpack_rows
+
+                rows = unpack_rows(rows, order, valid, inv)
+            rows_t = rows.T
+            if presorted:
+                from fluidlab_tpu.ops.binning import pin_rowmajor
+
+                rows_t = pin_rowmajor(rows_t)
         d_feats13 = rows_t[:13]
         d_fx = rows_t[13:16]
         return (d_fx, None, d_feats13, d_vop, None, None, None, None, None)

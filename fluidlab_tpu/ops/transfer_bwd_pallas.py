@@ -637,6 +637,168 @@ def _make_bwd_kernel_merged(m: int, nb: int, scale_p: float, cpad: int,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel_merged_t(m: int, nb: int, scale_p: float, cpad: int):
+    """Column-oriented twin of ``_make_bwd_kernel_merged``
+    (FL_KORIENT=cols): reads the (R, NPAD) sorted SoA buffer as column
+    blocks (row layout [w(9) lb(3) f12(12) pad wp(9) f13(13)]), builds
+    ab masks at 328 sublanes instead of 384 lanes, and emits (16, NPAD)
+    SoA rows [d_feats13(13) | d_fx(3)] — no pack/unpack transposes."""
+    from fluidlab_tpu.ops.p2g_pallas import _r2s as _r2s_fn
+    from fluidlab_tpu.ops.regions_pallas import _onehot_w_t
+
+    region = _region(m)
+    r2 = region * region
+    r2s = _r2s_fn(m)
+    OWP = 12 + cpad
+    OF13 = 21 + cpad
+    OUTR = 16
+
+    def kernel(c2b_ref, act_ref, packed_ref, compact_ref, vreg_ref,
+               out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(act_ref[i] != 0)
+        def _():
+            _mbody(c2b_ref, packed_ref, compact_ref, vreg_ref, out_ref)
+
+    def _mbody(c2b_ref, packed_ref, compact_ref, vreg_ref, out_ref):
+        i = pl.program_id(0)
+        b = c2b_ref[i]
+        bj = (b // nb) % nb
+        bk = b % nb
+        oa = ((b // (nb * nb)) * BLOCK - m).astype(jnp.float32)
+        ob = (bj * BLOCK - m).astype(jnp.float32)
+        oz = (bk * BLOCK - m).astype(jnp.float32)
+
+        pk = packed_ref[...]  # (R, CHUNK)
+        lbi = pk[9:12].astype(jnp.int32)
+        f12 = pk[12:24]             # (12, CHUNK) [S0bar(3) | S1bar(9)]
+        f13 = pk[OF13:OF13 + 13]    # (13, CHUNK) [b(3) | affine(9) | m]
+
+        zrow = jax.lax.broadcasted_iota(jnp.int32, (RCOLS, 1), 0)
+        zv = (zrow < region).astype(jnp.float32)
+        xz1 = oz + zrow.astype(jnp.float32)  # (RCOLS, 1), cell units
+        Wz = _onehot_w_t(pk[6:9], lbi[2:3], zrow) * zv
+        Dz = _onehot_w_t(pk[OWP + 6:OWP + 9], lbi[2:3], zrow) * zv
+        lhs = jnp.concatenate(
+            [Wz, Wz * xz1, Dz, Dz * xz1], axis=1
+        )  # (RCOLS, 4*CHUNK)
+
+        # ONE stacked z-contraction for all 7 channel regions (4
+        # compact + 3 velocity) x all 4 stencils: channels row-stacked
+        # with zero rows up to r2s so slices stay tile-aligned
+        zrows = jnp.zeros((r2s - r2, RCOLS), jnp.float32)
+        parts = []
+        for q in range(4):
+            parts += [compact_ref[0, q], zrows]
+        for q in range(3):
+            parts += [vreg_ref[0, q], zrows]
+        rr = jnp.concatenate(parts, axis=0)  # (7*r2s, RCOLS)
+        zc_all = _acc_dot(rr, lhs, (((1,), (0,)), ((), ())))
+        # (7*r2s, 4*CHUNK)
+
+        def pick(qi):
+            return tuple(
+                zc_all[qi * r2s:(qi + 1) * r2s,
+                       v * CHUNK:(v + 1) * CHUNK]
+                for v in range(4)
+            )
+
+        P = [pick(q) for q in range(4)]
+        Gv = [pick(4 + q) for q in range(3)]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (r2s, 1), 0)
+        a_row = jnp.minimum(row // region, region - 1)
+        b_row = row % region
+        rv = (row < r2).astype(jnp.float32)
+        xa1 = oa + a_row.astype(jnp.float32)  # (r2s, 1), cell units
+        xb1 = ob + b_row.astype(jnp.float32)
+        Wx = _onehot_w_t(pk[0:3], lbi[0:1], a_row) * rv
+        Wy = _onehot_w_t(pk[3:6], lbi[1:2], b_row) * rv
+        Dx = _onehot_w_t(pk[OWP:OWP + 3], lbi[0:1], a_row) * rv
+        Dy = _onehot_w_t(pk[OWP + 3:OWP + 6], lbi[1:2], b_row) * rv
+        T = Wx * Wy
+
+        # ---- P2G d_feats13 (world-scale coordinates)
+        rows = [jnp.sum(T * P[q][0], axis=0) for q in range(3)]
+        Ta = T * (xa1 * scale_p)
+        Tb = T * (xb1 * scale_p)
+        for q in range(3):
+            rows += [jnp.sum(Ta * P[q][0], axis=0),
+                     jnp.sum(Tb * P[q][0], axis=0),
+                     scale_p * jnp.sum(T * P[q][1], axis=0)]
+        rows.append(jnp.sum(T * P[3][0], axis=0))
+
+        # ---- shared d_fx: sum the two sides' feats-contracted profiles
+        def prof(Z, ZX, c0, c, scale, mass=None, Zm=None):
+            P0 = jnp.zeros((r2s, CHUNK), jnp.float32)
+            Pa = jnp.zeros((r2s, CHUNK), jnp.float32)
+            Pb = jnp.zeros((r2s, CHUNK), jnp.float32)
+            for q in range(3):
+                P0 = P0 + c0[q:q + 1, :] * Z[q]
+                P0 = P0 + (scale * c[3 * q + 2:3 * q + 3, :]) * ZX[q]
+                Pa = Pa + c[3 * q:3 * q + 1, :] * Z[q]
+                Pb = Pb + c[3 * q + 1:3 * q + 2, :] * Z[q]
+            if mass is not None:
+                P0 = P0 + mass * Zm
+            return P0 + (scale * xa1) * Pa + (scale * xb1) * Pb
+
+        FZ = prof([P[q][0] for q in range(3)], [P[q][1] for q in range(3)],
+                  f13[0:3], f13[3:12], scale_p,
+                  mass=f13[12:13], Zm=P[3][0])
+        FZ = FZ + prof([Gv[q][0] for q in range(3)],
+                       [Gv[q][1] for q in range(3)],
+                       f12[0:3], f12[3:12], 1.0)
+        FD = prof([P[q][2] for q in range(3)], [P[q][3] for q in range(3)],
+                  f13[0:3], f13[3:12], scale_p,
+                  mass=f13[12:13], Zm=P[3][2])
+        FD = FD + prof([Gv[q][2] for q in range(3)],
+                       [Gv[q][3] for q in range(3)],
+                       f12[0:3], f12[3:12], 1.0)
+        rows += [
+            jnp.sum(Dx * Wy * FZ, axis=0),
+            jnp.sum(Wx * Dy * FZ, axis=0),
+            jnp.sum(T * FD, axis=0),
+        ]
+
+        out = jnp.stack(rows, axis=0)  # (16, CHUNK)
+        out_ref[...] = out
+
+    def run(packed, compact, vregions, c2b, n_pad: int, active=None):
+        nch = packed.shape[-1] // CHUNK
+        nr = packed.shape[0]
+        if active is None:
+            active = jnp.ones((nch,), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec((nr, CHUNK), lambda i, c2b, act: (0, i)),
+                pl.BlockSpec(
+                    (1, 4, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 3, r2, RCOLS), lambda i, c2b, act: (c2b[i], 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (OUTR, CHUNK), lambda i, c2b, act: (0, i)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((OUTR, n_pad), jnp.float32),
+            grid_spec=grid_spec,
+        )(c2b, active, packed, compact, vregions)
+
+    return run
+
+
 def transfer_bwd_fx(fx, base, feats, regions, order, valid, inv, starts,
                     block, G: int, m: int, presorted: bool,
                     interpret: bool, nq: int, has_mass: bool,
