@@ -122,6 +122,20 @@ class Loss:
                 self.temporal_range[1] + self.temporal_expand_speed,
             )
 
+    def state_dict(self):
+        """Curriculum state for cross-session solve chaining."""
+        d = {"temporal_range": list(self.temporal_range)}
+        if self.temporal_range_type == "expand":
+            d["best_loss"] = float(self.best_loss)
+            d["plateau_count"] = int(self.plateau_count)
+        return d
+
+    def load_state_dict(self, d):
+        self.temporal_range = list(d["temporal_range"])
+        if self.temporal_range_type == "expand":
+            self.best_loss = float(d.get("best_loss", self.INF))
+            self.plateau_count = int(d.get("plateau_count", 0))
+
     def get_final_loss_info(self, step_losses: np.ndarray) -> dict:
         """Summarize a rollout's stacked per-step losses and advance the
         curriculum (reference get_final_loss, shapematching_loss.py:96-108)."""

@@ -204,8 +204,13 @@ def unpack_rows(res, order, valid, inv):
     dummies)."""
     if _PACK_MODE == "scatter":
         n = inv.shape[0]
-        idx = jnp.where(valid > 0.5, order, n)  # dummies -> trash row
-        out = jnp.zeros((n + 1,) + res.shape[1:], res.dtype)
+        npad = order.shape[0]
+        # dummies -> per-slot distinct trash rows [n, n+npad): duplicate
+        # indices under unique_indices=True are UB for XLA scatter-set,
+        # so the trash region must keep the index set genuinely unique
+        slot = jnp.arange(npad, dtype=order.dtype)
+        idx = jnp.where(valid > 0.5, order, n + slot)
+        out = jnp.zeros((n + npad,) + res.shape[1:], res.dtype)
         out = out.at[idx].set(res, unique_indices=True)
         return out[:n]
     return res[inv]
@@ -218,8 +223,11 @@ def unpack_cols(res, order, valid, inv):
     directly."""
     if _PACK_MODE == "scatter":
         n = inv.shape[0]
-        idx = jnp.where(valid > 0.5, order, n)  # dummies -> trash col
-        out = jnp.zeros(res.shape[:-1] + (n + 1,), res.dtype)
+        npad = order.shape[0]
+        # dummies -> per-slot distinct trash cols (see unpack_rows)
+        slot = jnp.arange(npad, dtype=order.dtype)
+        idx = jnp.where(valid > 0.5, order, n + slot)
+        out = jnp.zeros(res.shape[:-1] + (n + npad,), res.dtype)
         out = out.at[..., idx].set(res, unique_indices=True)
         return out[..., :n]
     return res[..., inv]

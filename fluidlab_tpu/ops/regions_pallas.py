@@ -770,7 +770,10 @@ def _make_unsweep_yz_expand(m: int, nb: int, n_mom: int, has_mass: bool,
 # extent from 384 lanes to 328 sublanes (the sublane tile is 8, not
 # 128) — ~15% off every mask build, reduction and ab-sided dot.
 
-_KORIENT = __import__("os").environ.get("FL_KORIENT", "cols")
+def _korient() -> str:
+    """Kernel I/O orientation, read at phase-build time (not import) so
+    tests can parametrize both codepaths (FL_KORIENT in {rows, cols})."""
+    return __import__("os").environ.get("FL_KORIENT", "cols")
 
 
 def _onehot_w_t(w3, lb, ids):
@@ -1181,7 +1184,7 @@ def make_grid_phase(gridop_fn, G: int, m: int, presorted: bool,
     nb = G // BLOCK
     scale_p = _dx_scale(G)
 
-    use_cols = _KORIENT == "cols"
+    use_cols = _korient() == "cols"
 
     def _fwd(fx, base, feats13, vop, order, valid, inv, starts, block):
         if use_cols:

@@ -215,6 +215,36 @@ class TrainablePolicy:
     def get_action_v(self, i, **kwargs):
         return self.actions_v[i]
 
+    # -- resume -----------------------------------------------------------
+    def state_dict(self):
+        """Full optimizer-visible state for cross-session solve chaining
+        (actions + freeze mask + Adam moments + lr) — the reference's
+        per-iteration policy pkl carries the same information via
+        pickling the whole object (reference utils/logger.py:41-44)."""
+        st = self.optim._state
+        return {
+            "params": self.params.copy(),
+            "trainable": self.trainable.copy(),
+            "freeze_till": int(self.freeze_till),
+            "lr": float(self.optim.lr),
+            "optim_mean": st.mean.copy(),
+            "optim_var": st.var.copy(),
+            "optim_count": int(st.count),
+        }
+
+    def load_state_dict(self, d):
+        from fluidlab_tpu.optimizer.optim import AdamState
+
+        self.params = np.asarray(d["params"], np.float64).copy()
+        self.trainable = np.asarray(d["trainable"], bool).copy()
+        self.freeze_till = int(d["freeze_till"])
+        self.optim.lr = float(d["lr"])
+        self.optim._state = AdamState(
+            mean=np.asarray(d["optim_mean"], np.float64).copy(),
+            var=np.asarray(d["optim_var"], np.float64).copy(),
+            count=int(d["optim_count"]),
+        )
+
     # -- update -----------------------------------------------------------
     def optimize(self, grads, loss_info):
         grads = np.asarray(grads, np.float64)

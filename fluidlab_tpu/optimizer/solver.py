@@ -134,10 +134,22 @@ class Solver:
             if policy.actions_p is not None and ws.get("actions_p") is not None:
                 policy.actions_p[:] = np.asarray(ws["actions_p"], np.float64)
         loss = env.sim.loss
+        # full resume (actions + Adam moments + freeze/lr + curriculum +
+        # iteration counter): chains one long solve across tunnel
+        # sessions with a course identical to an uninterrupted run
+        it0 = 0
+        rs = _get(cfg, "resume")
+        if rs is not None:
+            policy.load_state_dict(rs["policy"])
+            if loss is not None and rs.get("loss") is not None:
+                loss.load_state_dict(rs["loss"])
+            it0 = int(rs.get("iteration", 0))
+        self.policy = policy
+        self.loss = loss
         fwd_bwd = self._build_fwd_bwd(policy)
         n_iters = _get(cfg, "n_iters", 100)
 
-        for iteration in range(n_iters):
+        for iteration in range(it0, it0 + n_iters):
             if self.logger is not None:
                 self.logger.save_policy(policy, iteration)
 
@@ -191,7 +203,17 @@ class Solver:
                 and getattr(env.sim, "renderer", None) is not None
             ):
                 self._render_policy_frame(policy, iteration)
+        self._next_iteration = it0 + n_iters
         return policy
+
+    def snapshot(self):
+        """Resume snapshot after ``solve`` returns: pass as
+        ``cfg['resume']`` to a fresh Solver to continue the course."""
+        return {
+            "policy": self.policy.state_dict(),
+            "loss": self.loss.state_dict() if self.loss is not None else None,
+            "iteration": int(self._next_iteration),
+        }
 
     def _render_policy_frame(self, policy, iteration):
         """Replay the current policy forward and write the final frame."""

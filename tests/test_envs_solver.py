@@ -113,6 +113,53 @@ class TestRecordAndSolve:
         # gradient must be nonzero (actions influence the loss)
         assert np.abs(grad).max() > 0
 
+    def test_chained_solve_matches_uninterrupted(self, recorded_env):
+        """Full resume state (Adam moments + curriculum + iteration
+        counter): a solve split into two segments via Solver.snapshot /
+        cfg['resume'] must reproduce the uninterrupted loss course —
+        the contract the cross-session solve chain (tools/
+        tpu_latteart_chain.py) relies on."""
+
+        class CourseLogger:
+            def __init__(self):
+                self.losses = []
+
+            def save_policy(self, policy, iteration):
+                pass
+
+            def log(self, iteration, info):
+                self.losses.append(info["loss"])
+
+        def make_env():
+            return TinyLatteArtEnv(
+                loss=True, seed=0, target_file=recorded_env.target_file
+            )
+
+        base_cfg = dict(
+            init_range=dict(
+                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
+            ),
+            optim=dict(type="Adam", lr=1e-2, beta_1=0.9, beta_2=0.99),
+        )
+
+        log_a = CourseLogger()
+        Solver(make_env(), logger=log_a, cfg=dict(base_cfg, n_iters=4)).solve()
+
+        log_b = CourseLogger()
+        s1 = Solver(make_env(), logger=log_b, cfg=dict(base_cfg, n_iters=2))
+        s1.solve()
+        snap = s1.snapshot()
+        assert snap["iteration"] == 2
+        s2 = Solver(
+            make_env(), logger=log_b,
+            cfg=dict(base_cfg, n_iters=2, resume=snap),
+        )
+        s2.solve()
+
+        assert len(log_a.losses) == 4 and len(log_b.losses) == 4
+        np.testing.assert_allclose(log_b.losses, log_a.losses, rtol=1e-5)
+
     def test_solver_render_monitor(self, recorded_env, tmp_path):
         """Periodic visual monitor during solve (reference
         optimizer/solver.py:60-71 renders every 50 iterations): with

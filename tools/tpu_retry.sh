@@ -26,7 +26,7 @@ for attempt in $(seq 1 "$TRIES"); do
     while kill -0 "$pid" 2>/dev/null; do
         now=$(date +%s)
         el=$((now - t0))
-        if [ "$alive" = 0 ] && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
+        if [ "$alive" = 0 ] && tail -n +"$((base_lines + 1))" "$LOG" | grep -qE "$MARKER"; then
             alive=1
             echo "=== attempt $attempt: backend up after ${el}s ===" >> "$LOG"
         fi
@@ -51,7 +51,7 @@ for attempt in $(seq 1 "$TRIES"); do
     # within one 10s poll window (skip if WE killed it — the marker
     # racing the kill must still retry, and rc would be bogus)
     if [ "$alive" = 0 ] && [ "${killed:-0}" = 0 ] \
-        && tail -n +"$((base_lines + 1))" "$LOG" | grep -q "$MARKER"; then
+        && tail -n +"$((base_lines + 1))" "$LOG" | grep -qE "$MARKER"; then
         alive=1
     fi
     if [ "$alive" = 1 ]; then
