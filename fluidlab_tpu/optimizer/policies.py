@@ -396,7 +396,46 @@ class MixingPolicy(TrainablePolicy):
 
 
 class CirculationPolicy(TrainablePolicy):
-    pass
+    """Plateau-halving lr schedule (deliberate deviation: the reference
+    runs a bare constant lr 5e-3 for 1000 iterations,
+    exp_circulation.yaml + reference policies.py:341-343, but our
+    measured H=500 hardware course diverges after iter ~41 at that lr —
+    loss 4979.70 -> 4363.60 -> back to ~4786 by iter 133, textbook
+    too-hot-lr wobble; artifacts/circulation_r3_course.log).  Halve lr
+    after ``patience`` iterations without improving the best loss,
+    floored at init_lr/32."""
+
+    patience = 12
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._best_loss = float("inf")
+        self._stall = 0
+
+    def optimize(self, grads, loss_info):
+        super().optimize(grads, loss_info)
+        loss = float(loss_info["loss"])
+        if loss < self._best_loss - 1e-9:
+            self._best_loss = loss
+            self._stall = 0
+        else:
+            self._stall += 1
+        if self._stall >= self.patience:
+            self._stall = 0
+            self.optim.lr = max(
+                self.optim.lr * 0.5, self.optim.init_lr / 32.0
+            )
+
+    def state_dict(self):
+        d = super().state_dict()
+        d["sched_best_loss"] = float(self._best_loss)
+        d["sched_stall"] = int(self._stall)
+        return d
+
+    def load_state_dict(self, d):
+        super().load_state_dict(d)
+        self._best_loss = float(d.get("sched_best_loss", float("inf")))
+        self._stall = int(d.get("sched_stall", 0))
 
 
 class PouringPolicy(TrainablePolicy):

@@ -111,3 +111,53 @@ class TestTrainablePolicy:
         except ValueError:
             return
         raise AssertionError("shape mismatch not rejected")
+
+
+class TestCirculationSchedule:
+    """Plateau-halving lr schedule on CirculationPolicy (r4: the r3
+    H=500 hardware course diverged after iter 41 at constant lr —
+    artifacts/circulation_r3_course.log)."""
+
+    def _mk(self):
+        from fluidlab_tpu.optimizer.policies import CirculationPolicy
+
+        cfg = dict(type="Adam", lr=1e-2)
+        init_range = dict(v=(0.0, 0.0), p=((0.4,) * 8, (0.4,) * 8))
+        pol = CirculationPolicy(
+            cfg, init_range, 8, 5, action_range=(-1.0, 1.0)
+        )
+        pol.patience = 3
+        return pol
+
+    def test_lr_halves_on_plateau_and_floors(self):
+        pol = self._mk()
+        g = np.zeros(pol.comp_actions_shape)
+        pol.optimize(g, {"loss": 100.0})  # improvement (inf -> 100)
+        assert pol.optim.lr == pol.optim.init_lr
+        for _ in range(3):  # 3 non-improving iters = patience
+            pol.optimize(g, {"loss": 100.0})
+        assert pol.optim.lr == pol.optim.init_lr * 0.5
+        for _ in range(30):
+            pol.optimize(g, {"loss": 100.0})
+        assert pol.optim.lr >= pol.optim.init_lr / 32.0 - 1e-15
+
+    def test_improvement_resets_stall(self):
+        pol = self._mk()
+        g = np.zeros(pol.comp_actions_shape)
+        losses = [100.0, 99.0, 98.0, 97.0, 96.0, 95.0]
+        for lo in losses:  # always improving: no decay
+            pol.optimize(g, {"loss": lo})
+        assert pol.optim.lr == pol.optim.init_lr
+
+    def test_schedule_state_survives_resume(self):
+        pol = self._mk()
+        g = np.zeros(pol.comp_actions_shape)
+        pol.optimize(g, {"loss": 100.0})
+        pol.optimize(g, {"loss": 100.0})  # stall = 1
+        d = pol.state_dict()
+        pol2 = self._mk()
+        pol2.load_state_dict(d)
+        assert pol2._best_loss == 100.0 and pol2._stall == 1
+        pol2.optimize(g, {"loss": 100.0})
+        pol2.optimize(g, {"loss": 100.0})  # stall reaches patience=3
+        assert pol2.optim.lr == pol2.optim.init_lr * 0.5

@@ -5,7 +5,10 @@ end-to-end exercise of the smoke kernels' hand-written adjoints
 Mini config: reference scene (128^3 smoke, 50 Jacobi iters, AirCon
 8-D agent, thermometer-voxel loss) at horizon 20 instead of 1000.
 
-Env: FL_SOLVE_ITERS (default 3).
+Env: FL_SOLVE_ITERS (default 3).  Chaining: FL_CHAIN_STATE (resume
+snapshot pkl, written on exit; resumes Adam moments + curriculum +
+iteration counter + CirculationPolicy's plateau-lr schedule state) and
+FL_CHAIN_COURSE (per-iteration "iter loss seconds lr" lines).
 """
 import os
 import sys
@@ -44,13 +47,50 @@ if ws_pkl:
     with open(ws_pkl, "rb") as f:
         warmstart = _pkl.load(f)
     print(f"warm-starting from {ws_pkl}", flush=True)
-solver = Solver(env, cfg=dict(
+
+STATE = os.environ.get("FL_CHAIN_STATE")
+COURSE = os.environ.get("FL_CHAIN_COURSE")
+resume = None
+if STATE and os.path.exists(STATE):
+    import pickle as _pkl
+    with open(STATE, "rb") as f:
+        resume = _pkl.load(f)
+    warmstart = None
+    print(f"resuming at iteration {resume['iteration']}", flush=True)
+
+
+class CourseLogger:
+    def __init__(self):
+        self.t_last = time.time()
+
+    def save_policy(self, policy, iteration):
+        pass
+
+    def log(self, iteration, info):
+        if not COURSE:
+            return
+        now = time.time()
+        with open(COURSE, "a") as f:
+            f.write(f"{iteration} {info['loss']:.4f} "
+                    f"{now - self.t_last:.1f} lr={info.get('lr', 0):.2e}\n")
+        self.t_last = now
+
+
+solver = Solver(env, logger=CourseLogger(), cfg=dict(
     n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
     init_range=cfg["SOLVER"]["init_range"],
     optim=cfg["SOLVER"]["optim"],
     warmstart=warmstart,
+    resume=resume,
 ))
 policy = solver.solve()
+if STATE:
+    import pickle as _pkl
+    snap = solver.snapshot()
+    with open(STATE + ".tmp", "wb") as f:
+        _pkl.dump(snap, f)
+    os.replace(STATE + ".tmp", STATE)
+    print(f"SEGMENT DONE at iteration {snap['iteration']}", flush=True)
 out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT")
 if out_pkl:
     import pickle
