@@ -191,6 +191,22 @@ struct Renderer {
   // [a1 | a2 | a3]; empty -> spheres of pradius
   std::vector<float> aniso_axes;
 
+  // per-particle velocities (3N, optional) — feed the diffuse/spray pass
+  std::vector<float> pvel;
+
+  // diffuse (spray/foam) sprites generated by swr_compute_diffuse
+  // (reference FlexRenderer reads them from NvFlex,
+  // bindings.cpp:421-428, and composites velocity-stretched point
+  // sprites over the fluid surface, shadersGL.cpp RenderDiffuse
+  // :2817-2860; here they are derived natively from the particle
+  // neighborhood/speed and drawn by draw_diffuse)
+  std::vector<float> dpos;  // 3D
+  std::vector<float> dvel;  // 3D
+  std::vector<float> dlife; // D in (0, 1]: brightness/size fade
+  float diffuse_color[4] = {0.92f, 0.96f, 1.0f, 0.5f};
+  float diffuse_radius = 0.004f;
+  float diffuse_motion = 0.012f; // velocity stretch (seconds of blur)
+
   // smoke
   std::vector<float> sx;     // 3M
   std::vector<float> scolor; // 4M
@@ -727,6 +743,59 @@ void draw_smoke_volumetric(Renderer& r, float f_px) {
   }
 }
 
+// ---------------- diffuse (spray/foam) sprites ----------------------------
+// Mirrors the role of the reference's diffuse pass (shadersGL.cpp
+// RenderDiffuse :2817-2860): velocity-stretched soft point sprites,
+// premultiplied-alpha blended over the composited fluid, depth-tested
+// against the scene but not depth-writing.  Sprites are sampled along
+// the screen-space motion segment (the GL geometry shader's quad
+// stretch, shadersGL.cpp :2694-2741) as gaussian splats.
+
+void draw_diffuse(Renderer& r, float f_px) {
+  size_t d = r.dpos.size() / 3;
+  if (d == 0) return;
+  const float* col = r.diffuse_color;
+  for (size_t i = 0; i < d; i++) {
+    Vec3 p(r.dpos[3 * i], r.dpos[3 * i + 1], r.dpos[3 * i + 2]);
+    Vec3 v(r.dvel[3 * i], r.dvel[3 * i + 1], r.dvel[3 * i + 2]);
+    float life = r.dlife.empty() ? 1.0f : r.dlife[i];
+    Vec3 p1 = p - v * r.diffuse_motion;  // motion tail
+    float sx0, sy0, z0, sx1, sy1, z1;
+    if (!project(r.cam, f_px, r.width, r.height, p, sx0, sy0, z0)) continue;
+    if (!project(r.cam, f_px, r.width, r.height, p1, sx1, sy1, z1)) {
+      sx1 = sx0; sy1 = sy0; z1 = z0;
+    }
+    float rad_px = std::max(0.75f, r.diffuse_radius * life * f_px / z0);
+    float seg = std::hypot(sx1 - sx0, sy1 - sy0);
+    int steps = 1 + std::min(12, (int)(seg / std::max(1.0f, rad_px)));
+    float alpha = col[3] * life / (float)steps;
+    for (int s = 0; s < steps; s++) {
+      float t = steps == 1 ? 0.0f : (float)s / (float)(steps - 1);
+      float cx = sx0 + (sx1 - sx0) * t;
+      float cy = sy0 + (sy1 - sy0) * t;
+      float cz = z0 + (z1 - z0) * t;
+      int x0 = std::max(0, (int)std::floor(cx - 2 * rad_px));
+      int x1 = std::min(r.width - 1, (int)std::ceil(cx + 2 * rad_px));
+      int y0 = std::max(0, (int)std::floor(cy - 2 * rad_px));
+      int y1 = std::min(r.height - 1, (int)std::ceil(cy + 2 * rad_px));
+      float inv2r2 = 1.0f / (2.0f * rad_px * rad_px);
+      for (int y = y0; y <= y1; y++)
+        for (int x = x0; x <= x1; x++) {
+          size_t idx = (size_t)y * r.width + x;
+          // depth test with a small bias so spray hugging the surface
+          // still shows; no depth write (reference glDepthMask(FALSE))
+          if (cz >= r.zbuf[idx] + 0.01f) continue;
+          float dx = x + 0.5f - cx, dy = y + 0.5f - cy;
+          float w = std::exp(-(dx * dx + dy * dy) * inv2r2);
+          float a = alpha * w;
+          float* px = &r.rgb[idx * 3];
+          for (int c = 0; c < 3; c++)
+            px[c] = col[c] * a + px[c] * (1.0f - a);
+        }
+    }
+  }
+}
+
 // ---------------- neighbor-grid smoothing / anisotropy --------------------
 // The reference obtains smoothed positions + anisotropy ellipsoids from a
 // NvFlex solver tick (bindings.cpp:403-418).  Native replacement: uniform
@@ -882,6 +951,84 @@ void swr_set_particles_state(const float* pos, const float* rgba,
 
 int swr_get_n_particles() { return (int)g->pradius.size(); }
 
+void swr_set_particles_velocity(const float* vel, int n) {
+  g->pvel.assign(vel, vel + 3 * (size_t)n);
+}
+
+void swr_set_diffuse_params(const float* rgba, float radius, float motion) {
+  for (int k = 0; k < 4; k++) g->diffuse_color[k] = rgba[k];
+  g->diffuse_radius = radius;
+  g->diffuse_motion = motion;
+}
+
+// Generate diffuse (spray/foam) sprites from the particle state: a
+// particle emits spray when it moves fast AND sits in a thin
+// neighborhood (free surface / splash).  This replaces the NvFlex
+// diffuse-particle solver output the reference renders
+// (bindings.cpp:421-428); emission potential = speed above
+// ``speed_thresh`` scaled by (1 - neighbors/max_neighbors).  Sprites
+// are jittered deterministically (splitmix-style hash) inside the
+// particle radius and inherit the particle velocity.  Returns the
+// sprite count.
+int swr_compute_diffuse(float radius, float speed_thresh,
+                        int max_neighbors, int sprites_per) {
+  Renderer& r = *g;
+  r.dpos.clear(); r.dvel.clear(); r.dlife.clear();
+  size_t n = r.pradius.size();
+  if (n == 0 || r.pvel.size() < 3 * n) return 0;
+  HashGrid grid;
+  grid.build(r.px, r.pused, radius);
+  float r2 = radius * radius;
+  auto hashf = [](uint64_t h) {
+    h += 0x9e3779b97f4a7c15ull;
+    h = (h ^ (h >> 30)) * 0xbf58476d1ce4e5b9ull;
+    h = (h ^ (h >> 27)) * 0x94d049bb133111ebull;
+    h ^= h >> 31;
+    return (float)(h & 0xffffff) / (float)0x1000000;  // [0, 1)
+  };
+  for (size_t i = 0; i < n; i++) {
+    if (!r.pused.empty() && !r.pused[i]) continue;
+    float vx = r.pvel[3 * i], vy = r.pvel[3 * i + 1], vz = r.pvel[3 * i + 2];
+    float speed = std::sqrt(vx * vx + vy * vy + vz * vz);
+    if (speed < speed_thresh) continue;
+    float cx = r.px[3 * i], cy = r.px[3 * i + 1], cz = r.px[3 * i + 2];
+    int gx = clampf(cx / grid.cell, 0, grid.nx - 1);
+    int gy = clampf(cy / grid.cell, 0, grid.ny - 1);
+    int gz = clampf(cz / grid.cell, 0, grid.nz - 1);
+    int cnt = 0;
+    for (int dx = -1; dx <= 1 && cnt <= max_neighbors; dx++)
+      for (int dy = -1; dy <= 1 && cnt <= max_neighbors; dy++)
+        for (int dz = -1; dz <= 1 && cnt <= max_neighbors; dz++) {
+          int ax = gx + dx, ay = gy + dy, az = gz + dz;
+          if (ax < 0 || ay < 0 || az < 0 || ax >= grid.nx ||
+              ay >= grid.ny || az >= grid.nz)
+            continue;
+          int j = grid.head[((size_t)ax * grid.ny + ay) * grid.nz + az];
+          while (j >= 0) {
+            float ddx = r.px[3 * j] - cx, ddy = r.px[3 * j + 1] - cy,
+                  ddz = r.px[3 * j + 2] - cz;
+            if (ddx * ddx + ddy * ddy + ddz * ddz < r2) cnt++;
+            j = grid.next[j];
+          }
+        }
+    if (cnt > max_neighbors) continue;  // interior particle: no spray
+    float thin = 1.0f - (float)cnt / (float)(max_neighbors + 1);
+    float pot = clampf((speed / speed_thresh - 1.0f) * thin, 0.0f, 1.0f);
+    if (pot <= 0.0f) continue;
+    float prad = r.pradius[i];
+    for (int s = 0; s < sprites_per; s++) {
+      uint64_t seed = (uint64_t)i * 131071ull + (uint64_t)s;
+      float jx = (hashf(seed * 3 + 0) - 0.5f) * 2.0f * prad;
+      float jy = (hashf(seed * 3 + 1) - 0.5f) * 2.0f * prad;
+      float jz = (hashf(seed * 3 + 2) - 0.5f) * 2.0f * prad;
+      r.dpos.insert(r.dpos.end(), {cx + jx, cy + jy, cz + jz});
+      r.dvel.insert(r.dvel.end(), {vx, vy, vz});
+      r.dlife.push_back(0.35f + 0.65f * pot * hashf(seed ^ 0xabcdefull));
+    }
+  }
+  return (int)(r.dpos.size() / 3);
+}
+
 void swr_add_smoke_particles(const float* pos, const float* rgba, int m) {
   g->sx.assign(pos, pos + (size_t)m * 3);
   g->scolor.assign(rgba, rgba + (size_t)m * 4);
@@ -1017,6 +1164,7 @@ void swr_render(uint8_t* out_rgba) {
   blur_fluid(r, mean_rad);
   composite_fluid(r, f_px);
   draw_smoke_volumetric(r, f_px);
+  draw_diffuse(r, f_px);
   size_t total = (size_t)r.width * r.height;
   for (size_t i = 0; i < total; i++) {
     // gamma for display (the GL pipeline renders to an sRGB target)

@@ -48,6 +48,14 @@ def load_lib():
     lib.swr_update_smoke_particles.argtypes = [_f32p, ctypes.c_int]
     lib.swr_smooth_particles.argtypes = [ctypes.c_float, ctypes.c_float, _f32p]
     lib.swr_compute_anisotropy.argtypes = [ctypes.c_float, ctypes.c_float, _f32p]
+    lib.swr_set_particles_velocity.argtypes = [_f32p, ctypes.c_int]
+    lib.swr_set_diffuse_params.argtypes = [
+        _f32p, ctypes.c_float, ctypes.c_float
+    ]
+    lib.swr_compute_diffuse.argtypes = [
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int
+    ]
+    lib.swr_compute_diffuse.restype = ctypes.c_int
     lib.swr_render.argtypes = [_u8p]
     return lib
 
@@ -69,6 +77,8 @@ class NativeRenderer:
         particle_radius=0.008,
         smoothing=0.5,
         anisotropy=True,
+        diffuse=True,
+        diffuse_speed=1.0,
         floor_height=0.05,
         **_unused,
     ):
@@ -80,6 +90,8 @@ class NativeRenderer:
         self.particle_radius = float(particle_radius)
         self.smoothing = float(smoothing)
         self.anisotropy = bool(anisotropy)
+        self.diffuse = bool(diffuse)
+        self.diffuse_speed = float(diffuse_speed)
         self.floor_height = float(floor_height)
         self.lib = load_lib()
         self._built = False
@@ -161,6 +173,18 @@ class NativeRenderer:
             )
             radii = np.full(n, self.particle_radius, np.float32)
             self.lib.swr_set_particles_state(x, colors, radii, used, n)
+            if self.diffuse:
+                # diffuse/spray pass (reference shadersGL.cpp
+                # RenderDiffuse role): derive sprites from speed + thin
+                # neighborhoods, composited after the fluid surface
+                vel = np.ascontiguousarray(
+                    np.asarray(sim.state.particles.v, np.float32).T
+                )
+                self.lib.swr_set_particles_velocity(vel, n)
+                self.lib.swr_compute_diffuse(
+                    3.0 * self.particle_radius,
+                    self.diffuse_speed, 14, 2,
+                )
             if self.smoothing > 0:
                 smoothed = np.empty_like(x)
                 self.lib.swr_smooth_particles(

@@ -105,3 +105,65 @@ class TestInteractiveViewer:
         # elevation clamps near the pole
         p3, _ = orbit_camera(pos, lookat, d_el=10.0)
         assert np.linalg.norm(p3 - l) > 0.05
+
+
+class TestDiffusePass:
+    """Diffuse/spray sprites (reference shadersGL.cpp RenderDiffuse role,
+    derived natively from speed + thin neighborhoods)."""
+
+    def _setup(self, lib, n=60, speed=3.0, spread=(0.3, 0.7)):
+        rng = np.random.default_rng(1)
+        x = rng.uniform(*spread, (n, 3)).astype(np.float32)
+        x[:, 1] = rng.uniform(0.4, 0.6, n)
+        colors = np.tile(np.array([0.3, 0.6, 1.0, 1.0], np.float32), (n, 1))
+        radii = np.full(n, 0.01, np.float32)
+        used = np.ones(n, np.uint8)
+        lib.swr_set_particles_state(
+            np.ascontiguousarray(x), np.ascontiguousarray(colors),
+            radii, used, n,
+        )
+        v = np.zeros((n, 3), np.float32)
+        v[:, 1] = speed
+        lib.swr_set_particles_velocity(np.ascontiguousarray(v), n)
+
+    def test_sprite_generation_gated_by_speed_and_density(self):
+        from fluidlab_tpu.render.native_renderer import load_lib
+
+        lib = load_lib()
+        lib.swr_init(64, 64)
+        lib.swr_create_scene(0.05, 1)
+        # fast + sparse: spray
+        self._setup(lib, speed=3.0)
+        n_fast = lib.swr_compute_diffuse(0.03, 1.0, 14, 2)
+        assert n_fast > 0
+        # slow: no spray
+        self._setup(lib, speed=0.1)
+        assert lib.swr_compute_diffuse(0.03, 1.0, 14, 2) == 0
+        # fast but dense interior: far fewer sprites
+        self._setup(lib, speed=3.0, spread=(0.48, 0.52))
+        n_dense = lib.swr_compute_diffuse(0.03, 1.0, 14, 2)
+        assert n_dense < n_fast
+        lib.swr_clean()
+
+    def test_sprites_change_the_image(self):
+        from fluidlab_tpu.render.native_renderer import load_lib
+
+        lib = load_lib()
+        lib.swr_init(96, 96)
+        lib.swr_create_scene(0.05, 1)
+        cam = (np.array([1.5, 1.2, 1.5], np.float32),
+               np.array([0.5, 0.5, 0.5], np.float32))
+        lib.swr_set_camera_params(cam[0], cam[1], 35.0)
+        self._setup(lib, speed=3.0)
+        base = np.empty((96, 96, 4), np.uint8)
+        lib.swr_render(base)  # no diffuse computed yet
+        n = lib.swr_compute_diffuse(0.03, 1.0, 14, 3)
+        assert n > 0
+        img = np.empty((96, 96, 4), np.uint8)
+        lib.swr_render(img)
+        assert (img != base).any()
+        # deterministic
+        img2 = np.empty((96, 96, 4), np.uint8)
+        lib.swr_render(img2)
+        np.testing.assert_array_equal(img, img2)
+        lib.swr_clean()

@@ -5,6 +5,10 @@ Runs tools/bench_rollouts.py in a subprocess per device count with the
 per-device rollout load held constant (K = K_PER_DEV * n_dev) and
 reports weak-scaling efficiency  eff(n) = r(n) / (n * r(1)).
 
+Defaults saturate each device (K/dev=4 at N=8192, H=10 — ~82k
+particle-substeps in flight per device) rather than the r2 sweep's
+mechanics-only load (K/dev=2 at 4k), per the r3 verdict.
+
 On CPU the device counts are virtualized via
 ``--xla_force_host_platform_device_count`` (new process per point — the
 flag is read once at backend init).  On real TPU pods run one point per
@@ -48,8 +52,8 @@ def run_point(n_dev, k, n_particles, horizon, platform):
 def main():
     devcounts = [int(x) for x in
                  (sys.argv[1] if len(sys.argv) > 1 else "1,2,4,8").split(",")]
-    k_per_dev = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n_particles = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    k_per_dev = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_particles = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
     horizon = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     platform = os.environ.get("BENCH_PLATFORM", "cpu")
 
