@@ -34,6 +34,16 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_rollout_mesh() if n_dev > 1 and K % n_dev == 0 else None
     sim = liquid_agent_scene(n_particles=N, horizon=H)
+    # the flagship transfer path on TPU (bench.py defaults): regions
+    # grid phase; CPU keeps the portable scatter/gather impls
+    on_tpu = any(str(d).startswith("TPU") for d in jax.devices())
+    p2g = os.environ.get("BENCH_P2G") or ("regions" if on_tpu else "scatter")
+    g2p = os.environ.get("BENCH_G2P") or ("regions" if on_tpu else "gather")
+    if (p2g, g2p) != (sim.cfg.p2g_impl, sim.cfg.g2p_impl):
+        import dataclasses
+
+        sim.cfg = dataclasses.replace(sim.cfg, p2g_impl=p2g, g2p_impl=g2p)
+    print(f"transfers: {sim.cfg.p2g_impl}/{sim.cfg.g2p_impl}", flush=True)
     planner = MultiStartPlanner(
         sim, horizon_action=H, action_range=(-0.05, 0.05), n_rollouts=K,
         mesh=mesh,

@@ -1,0 +1,137 @@
+"""Generic hardware task solve: any registered task env at
+reduced-but-honest spec (fraction of reference particle density, FULL
+reference horizon), with chained resume state.
+
+Env knobs:
+  FL_TASK          experiment short name (config/experiments.py), e.g.
+                   pouring | gathering_easy | icecream_static
+  FL_TASK_DENSITY  particle_density override (default: class default/4)
+  FL_TASK_FRAC     density fraction of the class default (default 0.25;
+                   ignored when FL_TASK_DENSITY set)
+  FL_TASK_POOL     pool_scale override (injector tasks)
+  FL_SOLVE_ITERS   iterations this process (default 20)
+  FL_CHAIN_STATE / FL_CHAIN_COURSE   resume pkl / course log
+  FL_SEGLEN        forces the host-segmented backward length
+
+Records the demo target first when the task's loss needs one (same
+density).  Reference anchor: exp.sh solve lines; optimizer/solver.py:17-71.
+"""
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+import jax
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+
+from fluidlab_tpu.config.experiments import load_config
+from fluidlab_tpu.envs import tasks as T
+from fluidlab_tpu.optimizer.recorder import Recorder
+from fluidlab_tpu.optimizer.solver import Solver
+
+NAME = os.environ.get("FL_TASK", "pouring")
+cfg = load_config(NAME)
+env_id = cfg["EXP"]["env_name"]  # e.g. Pouring-v0
+cls_name = env_id.replace("-v0", "") + "Env"
+base_cls = getattr(T, cls_name)
+
+frac = float(os.environ.get("FL_TASK_FRAC", 0.25))
+density = os.environ.get("FL_TASK_DENSITY")
+pool = os.environ.get("FL_TASK_POOL")
+STATE = os.environ.get("FL_CHAIN_STATE", f"/tmp/{NAME}_chain_state.pkl")
+COURSE = os.environ.get("FL_CHAIN_COURSE", f"/tmp/{NAME}_chain_course.log")
+TARGET = f"/tmp/{NAME}_tpu_target.pkl"
+
+
+# the reference density is the env's class attribute default
+REF_DENSITY = float(getattr(base_cls, "particle_density", 1e6))
+
+
+class HwTask(base_cls):
+    if os.environ.get("FL_TASK_H"):
+        horizon = int(os.environ["FL_TASK_H"])
+        horizon_action = min(
+            int(os.environ["FL_TASK_H"]), base_cls.horizon_action
+        )
+
+    def __init__(self, **kw):
+        if density is not None:
+            kw.setdefault("particle_density", float(density))
+        else:
+            kw.setdefault("particle_density", frac * REF_DENSITY)
+        if pool is not None:
+            kw.setdefault("pool_scale", float(pool))
+        super().__init__(**kw)
+
+    def setup_renderer(self):
+        self.sim.renderer = None
+
+    def build_env(self):
+        # target_file is set by the task __init__ before build
+        # (envs/tasks.py) — tasks without one never define it
+        if getattr(self, "target_file", None) is not None:
+            self.target_file = TARGET
+        super().build_env()
+
+t0 = time.time()
+needs_target = False
+probe = HwTask(loss=False, seed=0)
+needs_target = getattr(probe, "target_file", None) is not None
+print(f"env: {env_id} N={probe.sim.cfg.n_particles} H={probe.horizon} "
+      f"target={needs_target} ({time.time()-t0:.0f}s)", flush=True)
+
+if needs_target and not os.path.exists(TARGET):
+    probe.target_file = TARGET
+    Recorder(probe).record()
+    print(f"target recorded ({time.time()-t0:.0f}s)", flush=True)
+del probe
+
+resume = None
+if os.path.exists(STATE):
+    with open(STATE, "rb") as f:
+        resume = pickle.load(f)
+    print(f"resuming at iteration {resume['iteration']}", flush=True)
+
+
+class CourseLogger:
+    def __init__(self):
+        self.t_last = time.time()
+
+    def save_policy(self, policy, iteration):
+        pass
+
+    def log(self, iteration, info):
+        now = time.time()
+        with open(COURSE, "a") as f:
+            f.write(f"{iteration} {info['loss']:.4f} "
+                    f"{now - self.t_last:.1f} tr={info['temporal_range']}\n")
+        self.t_last = now
+
+
+env = HwTask(loss=True, seed=0)
+print(f"solve env built seg_len={env.sim.auto_seg_len()} "
+      f"({time.time()-t0:.0f}s)", flush=True)
+solver = Solver(env, logger=CourseLogger(), cfg=dict(
+    n_iters=int(os.environ.get("FL_SOLVE_ITERS", 20)),
+    init_range=cfg["SOLVER"]["init_range"],
+    optim=cfg["SOLVER"]["optim"],
+    resume=resume,
+))
+policy = solver.solve()
+snap = solver.snapshot()
+with open(STATE + ".tmp", "wb") as f:
+    pickle.dump(snap, f)
+os.replace(STATE + ".tmp", STATE)
+out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT")
+if out_pkl:
+    with open(out_pkl, "wb") as f:
+        pickle.dump({"actions_v": np.asarray(policy.actions_v),
+                     "actions_p": np.asarray(policy.actions_p)}, f)
+print(f"SEGMENT DONE at iteration {snap['iteration']}", flush=True)
