@@ -71,6 +71,11 @@ def make_multistart_spatial_train_step(
     unperturbed base); sharded over 'rollout' on its leading axis.
     ``base_*``/``opt_state`` replicated; outputs replicated except
     ``losses`` (K,), sharded over 'rollout'.
+
+    Note: the initial-pose action row (``base_p``) rides along in the
+    Adam state but is NOT applied/differentiated here — apply it to
+    ``state``'s effector pose upstream (the 1-D planner differentiates
+    it; this composition optimizes the velocity rows).
     """
     _check_divisible(cfg, mesh, "space")
     n_roll_dev = mesh.shape["rollout"]
