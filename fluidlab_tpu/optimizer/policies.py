@@ -400,12 +400,14 @@ class CirculationPolicy(TrainablePolicy):
     runs a bare constant lr 5e-3 for 1000 iterations,
     exp_circulation.yaml + reference policies.py:341-343, but our
     measured H=500 hardware course diverges after iter ~41 at that lr —
-    loss 4979.70 -> 4363.60 -> back to ~4786 by iter 133, textbook
-    too-hot-lr wobble; artifacts/circulation_r3_course.log).  Halve lr
-    after ``patience`` iterations without improving the best loss,
-    floored at init_lr/32."""
+    loss 4979.70 -> 4363.60 -> back to ~4630-4790, textbook too-hot-lr
+    wobble; artifacts/circulation_r3_course.log).  Halve lr after
+    ``patience`` iterations without improving the best loss, floored at
+    init_lr/32.  patience=20 clears the longest improvement gap (17
+    iters) measured on the r3 constant-lr course BEFORE its minimum, so
+    decay cannot fire during a healthy descent."""
 
-    patience = 12
+    patience = 20
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
