@@ -128,6 +128,11 @@ class FluidSim:
         self.agent_spec = None
         self.boundary = None
         self.statics: list[StaticObject] = []
+        # visual records for rigid effectors with meshes (host-side,
+        # consumed by render/native_renderer.py to draw the agent at its
+        # live pose — reference renders agent meshes via
+        # agent.render(), agents/agent.py role)
+        self.effector_visuals: list[dict] = []
         self.bodies = Bodies(dim=dim, particle_density=particle_density)
         self.smoke_cfg: Optional[SmokeCfg] = None
         self.loss = None
@@ -174,6 +179,7 @@ class FluidSim:
         params = spec.get("params", {}) or {}
 
         eff_cfgs, colliders, inj_rand, act_ranges = [], [], [], []
+        self.effector_visuals = []
         rng = np.random.default_rng(self.seed)
         total_substeps = self.horizon * 10
 
@@ -208,6 +214,14 @@ class FluidSim:
                     ),
                     T_mesh_to_voxels=jnp.asarray(T.astype(np.float32)),
                 )
+                # visual record: verts drawn at the effector's live
+                # pose are T_init @ v_normalized rotated/translated by
+                # state.effectors[i].{quat,pos} — the inverse of the
+                # collider's world->local map above
+                self.effector_visuals.append(dict(
+                    index=len(eff_cfgs), file=file, T_init=T_init,
+                    material=mat_id,
+                ))
 
             flux = int(ep.get("flux", 0))
             radius = float(ep.get("radius", 0.0))

@@ -136,6 +136,33 @@ class NativeRenderer:
                 self._mesh_ids.append(mid)
             except FileNotFoundError:
                 pass
+        # rigid-effector meshes (agent visuals): registered once in the
+        # effector's local frame (T_init @ normalized verts), re-posed
+        # every frame from state.effectors[i].{pos, quat} — the
+        # reference draws the agent via its mesh at the live pose
+        # (agents/agent.py render role)
+        self._eff_meshes = []
+        for ev in getattr(sim, "effector_visuals", []):
+            try:
+                from fluidlab_tpu.config import materials as M
+                from fluidlab_tpu.engine import meshio
+
+                verts, faces = meshio.load_raw_mesh(ev["file"])
+                verts = meshio.normalize_mesh(verts)
+                T = np.asarray(ev["T_init"], np.float64)
+                base = (verts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+                rgba = np.asarray(
+                    M.COLOR.get(ev["material"], (0.8, 0.8, 0.8, 1.0)),
+                    np.float32,
+                )
+                mid = self.lib.swr_add_mesh(
+                    np.ascontiguousarray(base), len(base),
+                    np.ascontiguousarray(faces.astype(np.int32)), len(faces),
+                    np.ascontiguousarray(rgba),
+                )
+                self._eff_meshes.append((ev["index"], mid, base))
+            except FileNotFoundError:
+                pass
         self._built = True
 
     def set_camera(self, pos=None, lookat=None, fov=None):
@@ -154,8 +181,28 @@ class NativeRenderer:
                 self.fov,
             )
 
+    @staticmethod
+    def _quat_to_R_np(q):
+        """wxyz quaternion -> 3x3 rotation (numpy twin of
+        core/quat.py quat_to_R; host-side so a render never dispatches
+        a device op)."""
+        w, x, y, z = float(q[0]), float(q[1]), float(q[2]), float(q[3])
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ], np.float64)
+
     def render_frame(self, sim, mode="rgb_array", tgt_particles=None):
         W, H = self.res
+        for idx, mid, base in getattr(self, "_eff_meshes", ()):
+            eff = sim.state.effectors[idx]
+            R = self._quat_to_R_np(np.asarray(eff.quat, np.float64))
+            pos = np.asarray(eff.pos, np.float64)
+            world = (base.astype(np.float64) @ R.T + pos).astype(np.float32)
+            self.lib.swr_update_mesh(
+                mid, np.ascontiguousarray(world), len(world)
+            )
         if sim.state.particles is not None:
             x = np.ascontiguousarray(
                 np.asarray(sim.state.particles.x, np.float32).T

@@ -74,6 +74,56 @@ class TestNativeRenderer:
         assert (aniso[:, 0] >= aniso[:, 2] - 1e-6).all()
 
 
+class TestEffectorMeshPass:
+    """Rigid-effector meshes drawn at the live pose (reference renders
+    the agent mesh via agents/agent.py render role)."""
+
+    @pytest.fixture(scope="class")
+    def agent_scene(self):
+        sim = FluidSim(particle_density=2e4, horizon=4)
+        sim.setup_agent(dict(
+            type="AgentRigid",
+            effectors=[dict(
+                type="Rigid",
+                params=dict(init_pos=(0.5, 0.5, 0.5), action_dim=6),
+                mesh=dict(file="glass.obj", scale=(0.5, 0.5, 0.5),
+                          material="BOTTLE"),
+                boundary=dict(type="cube"),
+            )],
+        ))
+        sim.add_body(
+            type="cube", lower=(0.3, 0.7, 0.3), upper=(0.5, 0.8, 0.5),
+            material=M.WATER,
+        )
+        sim.build()
+        return sim
+
+    def test_effector_visual_recorded(self, agent_scene):
+        assert len(agent_scene.effector_visuals) == 1
+        assert agent_scene.effector_visuals[0]["index"] == 0
+
+    def test_mesh_follows_pose(self, agent_scene):
+        import jax.numpy as jnp
+
+        from fluidlab_tpu.render.native_renderer import NativeRenderer
+
+        sim = agent_scene
+        r = NativeRenderer(res=(128, 128), camera_pos=(0.5, 0.6, 2.2),
+                           camera_lookat=(0.5, 0.5, 0.5), fov=35)
+        r.build(sim)
+        assert len(r._eff_meshes) == 1
+        e0 = sim.state.effectors[0]
+        a = r.render_frame(sim)
+        sim.state = sim.state.replace(effectors=(
+            e0.replace(pos=jnp.asarray([0.2, 0.3, 0.5], jnp.float32)),
+        ))
+        b = r.render_frame(sim)
+        sim.state = sim.state.replace(effectors=(e0,))
+        c = r.render_frame(sim)
+        assert (a != b).any(), "moving the effector must move its mesh"
+        np.testing.assert_array_equal(a, c)
+
+
 class TestInteractiveViewer:
     """Viewer parity piece (reference GGUIRenderer camera controls):
     headless guard + pure orbit math."""

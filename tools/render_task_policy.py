@@ -1,0 +1,111 @@
+"""Replay a solved task policy and render artifact frames (CPU-friendly).
+
+Replays a policy pkl ({"actions_v", "actions_p"}, as written by
+tools/tpu_task_solve.py / tpu_circulation_solve.py) through the task
+env at the SOLVE spec (density fraction / horizon) and renders start /
+mid / final frames with the native fluid-surface renderer.
+
+Env knobs (mirror tools/tpu_task_solve.py so the replay matches the
+solve exactly):
+  FL_TASK          experiment short name (config/experiments.py)
+  FL_TASK_FRAC     density fraction of the class default (default 0.25)
+  FL_TASK_DENSITY  absolute density override
+  FL_TASK_POOL     pool_scale override
+  FL_TASK_H        horizon override
+  FL_POLICY        policy pkl path (default artifacts/r4b/<task>_solve_r4_policy.pkl)
+  FL_RENDER_OUT    output png path (default artifacts/<task>_solve_r4.png);
+                   start/mid frames land alongside with _start/_mid suffixes
+  BENCH_PLATFORM   'cpu' to force the CPU backend (default here)
+
+Reference anchor: fluidlab/optimizer/recorder.py replay_policy role +
+FlexRenderer offline frames.
+"""
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+# rendering is a host-side pass over replayed states: default to CPU so
+# this never contends for the chip (set BENCH_PLATFORM=axon to override)
+jax.config.update("jax_platforms", os.environ.get("BENCH_PLATFORM", "cpu"))
+import numpy as np
+
+from fluidlab_tpu.config.experiments import load_config
+from fluidlab_tpu.envs import tasks as T
+
+NAME = os.environ.get("FL_TASK", "pouring")
+cfg = load_config(NAME)
+env_id = cfg["EXP"]["env_name"]
+base_cls = getattr(T, env_id.replace("-v0", "") + "Env")
+
+frac = float(os.environ.get("FL_TASK_FRAC", 0.25))
+density = os.environ.get("FL_TASK_DENSITY")
+pool = os.environ.get("FL_TASK_POOL")
+POLICY = os.environ.get(
+    "FL_POLICY", f"artifacts/r4b/{NAME}_solve_r4_policy.pkl")
+OUT = os.environ.get("FL_RENDER_OUT", f"artifacts/{NAME}_solve_r4.png")
+REF_DENSITY = float(getattr(base_cls, "particle_density", 1e6))
+
+
+class RenderTask(base_cls):
+    if os.environ.get("FL_TASK_H"):
+        horizon = int(os.environ["FL_TASK_H"])
+        horizon_action = min(int(os.environ["FL_TASK_H"]),
+                             base_cls.horizon_action)
+
+    def __init__(self, **kw):
+        if density is not None:
+            kw.setdefault("particle_density", float(density))
+        else:
+            kw.setdefault("particle_density", frac * REF_DENSITY)
+        if pool is not None:
+            kw.setdefault("pool_scale", float(pool))
+        kw.setdefault("renderer_type", "native")
+        super().__init__(**kw)
+
+
+with open(POLICY, "rb") as f:
+    pol = pickle.load(f)
+actions_v = np.asarray(pol["actions_v"])
+actions_p = np.asarray(pol["actions_p"])
+
+t0 = time.time()
+env = RenderTask(loss=False, seed=0)
+sim = env.sim
+print(f"env: {env_id} N={sim.cfg.n_particles} H={env.horizon} "
+      f"({time.time()-t0:.0f}s)", flush=True)
+
+env.reset()
+sim.apply_agent_action_p(actions_p)
+H = env.horizon
+marks = {0, H // 2, H - 1}
+suffix = {0: "_start", H // 2: "_mid", H - 1: ""}
+
+
+def _write(img, path):
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+    except ImportError:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, img)
+    print(f"wrote {path}", flush=True)
+
+
+for t in range(H):
+    a = actions_v[t] if t < min(env.horizon_action, len(actions_v)) else None
+    sim.step(a)
+    if t in marks:
+        _write(np.asarray(sim.render("rgb_array")),
+               OUT.replace(".png", f"{suffix[t]}.png"))
+    if t % 100 == 0:
+        print(f"step {t}/{H} ({time.time()-t0:.0f}s)", flush=True)
+print(f"RENDER DONE ({time.time()-t0:.0f}s)", flush=True)
