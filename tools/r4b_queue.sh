@@ -92,6 +92,28 @@ if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
     mark_done rollouts
 fi
 
+# ---- stage 3b: two more task solves if time allows (broader
+# hardware-solve coverage: VERDICT missing #1 lists 8/10 tasks without
+# hardware evidence) ------------------------------------------------
+for TASK in mixing transporting; do
+    if stage_done "task_$TASK"; then continue; fi
+    [ "$(left)" -gt 3600 ] || break
+    T_END=$(( $(date +%s) + 2700 ))
+    [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
+    while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
+          && [ "$(left)" -gt 1200 ]; do
+        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T=2700 TRIES=4 \
+            MARKER="env:" \
+            FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
+            FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
+            FL_CHAIN_COURSE="$A/${TASK}_course.log" \
+            FL_SOLVE_POLICY_OUT="$A/${TASK}_solve_r4_policy.pkl" \
+            "$D/tpu_retry.sh" python -u "$D/tpu_task_solve.py" || break
+    done
+    echo "TASK $TASK at $(task_iters $TASK) iters" >> /tmp/r4b.log
+    [ "$(task_iters $TASK)" -ge 20 ] && mark_done "task_$TASK"
+done
+
 # ---- stage 4: LatteArt full-spec chain until deadline --------------
 while [ "$(left)" -gt 900 ]; do
     LOG=/tmp/latte_chain.log INIT_T=420 TOTAL_T="$(( $(left) - 300 > 3000 ? 3000 : $(left) - 300 ))" TRIES=6 \
