@@ -94,8 +94,10 @@ fi
 
 # ---- stage 3b: two more task solves if time allows (broader
 # hardware-solve coverage: VERDICT missing #1 lists 8/10 tasks without
-# hardware evidence) ------------------------------------------------
-for TASK in mixing transporting; do
+# hardware evidence).  latteart_stir (500x50=25k substeps/iter) and
+# transporting (1000x20=20k) fit a 45-min window at 1/4 density;
+# mixing (2000x50=100k substeps/iter) does not. -----------------------
+for TASK in latteart_stir transporting; do
     if stage_done "task_$TASK"; then continue; fi
     [ "$(left)" -gt 3600 ] || break
     T_END=$(( $(date +%s) + 2700 ))
