@@ -42,8 +42,8 @@ CIRC_TARGET="${CIRC_TARGET:-120}"
 if ! stage_done circ; then
     while [ "$(circ_iters)" -lt "$CIRC_TARGET" ] && [ "$(left)" -gt 3000 ]; do
         LOG=/tmp/circ_cold.log INIT_T=420 TOTAL_T=3600 TRIES=8 \
-            MARKER="env built|resuming at iteration" \
-            FL_CIRC_H=500 FL_SEGLEN=50 FL_SOLVE_ITERS=40 \
+            STALL_T=300 MARKER="env built|resuming at iteration" \
+            FL_CIRC_H=500 FL_SEGLEN=50 FL_SOLVE_ITERS=20 \
             FL_CHAIN_STATE="$A/circ_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/circ_cold_course.log" \
             FL_SOLVE_POLICY_OUT="$A/circulation_solve_r4b_policy.pkl" \
@@ -68,7 +68,7 @@ for TASK in pouring gathering_easy icecream_static; do
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
           && [ "$(left)" -gt 1200 ]; do
         LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T=3600 TRIES=6 \
-            MARKER="env:" \
+            STALL_T=1200 MARKER="env:" \
             FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/${TASK}_course.log" \
@@ -86,7 +86,7 @@ if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
         [ "$(left)" -gt 1200 ] || break
         set -- $KN
         LOG="$A/rollouts_r4.log" INIT_T=420 TOTAL_T=2400 TRIES=5 \
-            MARKER="rollouts/s" \
+            STALL_T=900 MARKER="rollouts/s" \
             "$D/tpu_retry.sh" python "$D/bench_rollouts.py" "$1" "$2" 20
     done
     mark_done rollouts
@@ -105,7 +105,7 @@ for TASK in latteart_stir transporting; do
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
           && [ "$(left)" -gt 1200 ]; do
         LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T=2700 TRIES=4 \
-            MARKER="env:" \
+            STALL_T=1200 MARKER="env:" \
             FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/${TASK}_course.log" \
@@ -119,7 +119,7 @@ done
 # ---- stage 4: LatteArt full-spec chain until deadline --------------
 while [ "$(left)" -gt 900 ]; do
     LOG=/tmp/latte_chain.log INIT_T=420 TOTAL_T="$(( $(left) - 300 > 3000 ? 3000 : $(left) - 300 ))" TRIES=6 \
-        MARKER="resuming at iteration|target recorded|env:" \
+        STALL_T=900 MARKER="resuming at iteration|target recorded|env:" \
         FL_CHAIN_SEG=5 \
         FL_CHAIN_STATE="$A/latte_chain_state.pkl" \
         FL_CHAIN_COURSE="$A/latte_chain_course.log" \

@@ -13,6 +13,11 @@ INIT_T="${INIT_T:-420}"
 TOTAL_T="${TOTAL_T:-3600}"
 MARKER="${MARKER:-devices:}"
 TRIES="${TRIES:-8}"
+# The tunnel also wedges MID-RUN (all threads futex-wait after hours of
+# healthy iterations).  If the log stops growing for STALL_T seconds
+# after the backend came up, kill and retry (0 disables).  Size it to
+# several times the job's steady per-line interval.
+STALL_T="${STALL_T:-0}"
 
 for attempt in $(seq 1 "$TRIES"); do
     echo "=== attempt $attempt: $* ===" >> "$LOG"
@@ -23,6 +28,10 @@ for attempt in $(seq 1 "$TRIES"); do
     pid=$!
     t0=$(date +%s)
     alive=0
+    killed=0
+    stalled=0
+    last_size=$(stat -c %s "$LOG")
+    last_growth=$(date +%s)
     while kill -0 "$pid" 2>/dev/null; do
         now=$(date +%s)
         el=$((now - t0))
@@ -36,6 +45,20 @@ for attempt in $(seq 1 "$TRIES"); do
             kill -9 "$pid" 2>/dev/null
             wait "$pid" 2>/dev/null
             break
+        fi
+        if [ "$STALL_T" != 0 ] && [ "$alive" = 1 ]; then
+            size=$(stat -c %s "$LOG")
+            if [ "$size" != "$last_size" ]; then
+                last_size=$size
+                last_growth=$now
+            elif [ $((now - last_growth)) -ge "$STALL_T" ]; then
+                echo "=== attempt $attempt: mid-run stall (${STALL_T}s no output), killing $pid ===" >> "$LOG"
+                killed=1
+                stalled=1
+                kill -9 "$pid" 2>/dev/null
+                wait "$pid" 2>/dev/null
+                break
+            fi
         fi
         if [ "$el" -ge "$TOTAL_T" ]; then
             echo "=== attempt $attempt: total timeout, killing $pid ===" >> "$LOG"
@@ -54,7 +77,7 @@ for attempt in $(seq 1 "$TRIES"); do
         && tail -n +"$((base_lines + 1))" "$LOG" | grep -qE "$MARKER"; then
         alive=1
     fi
-    if [ "$alive" = 1 ]; then
+    if [ "$alive" = 1 ] && [ "$stalled" = 0 ]; then
         echo "=== attempt $attempt: exited rc=$rc ===" >> "$LOG"
         exit "$rc"
     fi
