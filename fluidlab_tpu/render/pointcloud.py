@@ -38,6 +38,41 @@ class PointRenderer:
         self.colors = None
         if sim.particles is not None:
             self.colors = sim.particles["color"][:, :3].astype(np.float32)
+        # scene meshes as point sets (reference GGUI draws static and
+        # agent meshes, ggui_renderer.py scene.mesh role): statics are
+        # fixed in world space; rigid-effector meshes are re-posed per
+        # frame from state.effectors[i].{pos, quat}
+        from fluidlab_tpu.config import materials as M
+        from fluidlab_tpu.engine import meshio
+
+        def _mesh_points(file, T, material, cap=2000):
+            verts, _ = meshio.load_raw_mesh(file)
+            verts = meshio.normalize_mesh(verts)
+            pts = verts @ T[:3, :3].T + T[:3, 3]
+            if len(pts) > cap:
+                pts = pts[:: len(pts) // cap + 1]
+            rgb = np.asarray(
+                M.COLOR.get(material, (0.7, 0.7, 0.7, 1.0)), np.float32
+            )[:3]
+            return pts.astype(np.float64), np.tile(rgb, (len(pts), 1))
+
+        self._static_pts = []
+        for s in getattr(sim, "statics", []):
+            try:
+                self._static_pts.append(
+                    _mesh_points(s.file_vis, np.asarray(s.T_init), s.material)
+                )
+            except FileNotFoundError:
+                pass
+        self._eff_pts = []
+        for ev in getattr(sim, "effector_visuals", []):
+            try:
+                pts, rgb = _mesh_points(
+                    ev["file"], np.asarray(ev["T_init"]), ev["material"]
+                )
+                self._eff_pts.append((ev["index"], pts, rgb))
+            except FileNotFoundError:
+                pass
 
     def set_camera(self, pos=None, lookat=None, fov=None):
         """Update the camera between frames (InteractiveViewer orbit —
@@ -63,19 +98,38 @@ class PointRenderer:
         img = np.tile(self.background, (H, W, 1)).copy()
         zbuf = np.full((H, W), np.inf)
 
+        clouds = []
         if sim.state.particles is not None:
             x = np.asarray(sim.state.particles.x).T  # (N, 3)
             used = np.asarray(sim.state.particles.used)
-            R, cam = self._view_matrix()
-            pts = (x[used] - cam) @ R.T
             # colors only apply when the state matches the built scene's
             # particle set (a replayed target recorded at a different
             # density has its own N -> neutral color)
-            colors = (
+            pcolors = (
                 self.colors[used]
                 if self.colors is not None and len(self.colors) == len(used)
                 else np.full((int(used.sum()), 3), 0.6, np.float32)
             )
+            clouds.append((x[used], pcolors))
+        clouds.extend(getattr(self, "_static_pts", []))
+        for idx, base, rgb in getattr(self, "_eff_pts", ()):
+            eff = sim.state.effectors[idx]
+            q = np.asarray(eff.quat, np.float64)
+            w, qx, qy, qz = q
+            Rm = np.array([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - w * qz), 2 * (qx * qz + w * qy)],
+                [2 * (qx * qy + w * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - w * qx)],
+                [2 * (qx * qz - w * qy), 2 * (qy * qz + w * qx), 1 - 2 * (qx * qx + qy * qy)],
+            ])
+            clouds.append((base @ Rm.T + np.asarray(eff.pos, np.float64), rgb))
+
+        if clouds:
+            xall = np.concatenate([c[0] for c in clouds])
+            colors = np.concatenate(
+                [np.asarray(c[1], np.float32) for c in clouds]
+            )
+            R, cam = self._view_matrix()
+            pts = (xall - cam) @ R.T
             z = -pts[:, 2]
             valid = z > 1e-3
             pts, colors, z = pts[valid], colors[valid], z[valid]

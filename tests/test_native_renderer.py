@@ -123,6 +123,25 @@ class TestEffectorMeshPass:
         assert (a != b).any(), "moving the effector must move its mesh"
         np.testing.assert_array_equal(a, c)
 
+    def test_point_renderer_draws_meshes(self, agent_scene):
+        import jax.numpy as jnp
+
+        from fluidlab_tpu.render.pointcloud import PointRenderer
+
+        sim = agent_scene
+        r = PointRenderer(res=(96, 96), camera_pos=(0.5, 0.6, 2.2),
+                          camera_lookat=(0.5, 0.5, 0.5), fov=35)
+        r.build(sim)
+        assert len(r._eff_pts) == 1
+        e0 = sim.state.effectors[0]
+        a = r.render_frame(sim)
+        sim.state = sim.state.replace(effectors=(
+            e0.replace(pos=jnp.asarray([0.2, 0.3, 0.5], jnp.float32)),
+        ))
+        b = r.render_frame(sim)
+        sim.state = sim.state.replace(effectors=(e0,))
+        assert (a != b).any()
+
 
 class TestInteractiveViewer:
     """Viewer parity piece (reference GGUIRenderer camera controls):
