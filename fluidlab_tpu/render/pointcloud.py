@@ -123,6 +123,22 @@ class PointRenderer:
             ])
             clouds.append((base @ Rm.T + np.asarray(eff.pos, np.float64), rgb))
 
+        if sim.state.smoke is not None:
+            # hot-slab visualization (mirrors the native renderer's
+            # smoke branch; reference smoke colorize role,
+            # smoke_field.py:291-299)
+            q = np.asarray(sim.state.smoke.q)[0]
+            Rg = q.shape[0]
+            stride = max(1, Rg // 32)
+            sub = q[::stride, ::stride, ::stride]
+            idx = np.argwhere(sub > 0.05)
+            if len(idx):
+                pos = ((idx * stride + 0.5) / Rg).astype(np.float64)
+                hot = np.array([1.0, 0.45, 0.14], np.float32)
+                cold = np.array([0.0, 0.55, 1.0], np.float32)
+                qv = sub[idx[:, 0], idx[:, 1], idx[:, 2]][:, None]
+                clouds.append((pos, (cold * (1 - qv) + hot * qv)))
+
         if clouds:
             xall = np.concatenate([c[0] for c in clouds])
             colors = np.concatenate(
