@@ -15,6 +15,8 @@ solve exactly):
   FL_POLICY        policy pkl path (default artifacts/r4b/<task>_solve_r4_policy.pkl)
   FL_RENDER_OUT    output png path (default artifacts/<task>_solve_r4.png);
                    start/mid frames land alongside with _start/_mid suffixes
+  FL_RENDER_EVERY  also write an animated GIF sampling every K steps
+                   (0 = stills only, default 0)
   BENCH_PLATFORM   'cpu' to force the CPU backend (default here)
 
 Reference anchor: fluidlab/optimizer/recorder.py replay_policy role +
@@ -69,8 +71,13 @@ class RenderTask(base_cls):
 
 with open(POLICY, "rb") as f:
     pol = pickle.load(f)
-actions_v = np.asarray(pol["actions_v"])
-actions_p = np.asarray(pol["actions_p"])
+if "policy" in pol:  # solver chain snapshot (Solver.snapshot())
+    params = np.asarray(pol["policy"]["params"], np.float64)
+    actions_v, actions_p = params[:-1], params[-1]
+    print(f"chain snapshot at iteration {pol['iteration']}", flush=True)
+else:  # plain policy dict ({"actions_v", "actions_p"})
+    actions_v = np.asarray(pol["actions_v"])
+    actions_p = np.asarray(pol["actions_p"])
 
 t0 = time.time()
 env = RenderTask(loss=False, seed=0)
@@ -100,12 +107,28 @@ def _write(img, path):
     print(f"wrote {path}", flush=True)
 
 
+EVERY = int(os.environ.get("FL_RENDER_EVERY", 0))
+gif_frames = []
 for t in range(H):
     a = actions_v[t] if t < min(env.horizon_action, len(actions_v)) else None
     sim.step(a)
-    if t in marks:
-        _write(np.asarray(sim.render("rgb_array")),
-               OUT.replace(".png", f"{suffix[t]}.png"))
+    if t in marks or (EVERY and t % EVERY == 0):
+        img = np.asarray(sim.render("rgb_array"))
+        if t in marks:
+            _write(img, OUT.replace(".png", f"{suffix[t]}.png"))
+        if EVERY and t % EVERY == 0:
+            gif_frames.append(img)
     if t % 100 == 0:
         print(f"step {t}/{H} ({time.time()-t0:.0f}s)", flush=True)
+if gif_frames:
+    try:
+        from PIL import Image
+
+        ims = [Image.fromarray(f).reduce(2) for f in gif_frames]
+        gif = OUT.replace(".png", ".gif")
+        ims[0].save(gif, save_all=True, append_images=ims[1:],
+                    duration=80, loop=0)
+        print(f"wrote {gif} ({len(ims)} frames)", flush=True)
+    except ImportError:
+        pass
 print(f"RENDER DONE ({time.time()-t0:.0f}s)", flush=True)
