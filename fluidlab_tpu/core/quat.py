@@ -113,20 +113,26 @@ def euler_to_R_np(euler_deg) -> np.ndarray:
     return Rz @ Ry @ Rx
 
 
+def quat_to_R_np(q) -> np.ndarray:
+    """wxyz quaternion -> 3x3 rotation, host-side numpy (twin of
+    quat_to_R; used by the renderers so a frame never dispatches a
+    device op)."""
+    w, x, y, z = np.asarray(q, dtype=np.float64)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
 def trans_quat_to_T_np(trans=None, quat=None) -> np.ndarray:
     """4x4 homogeneous transform from translation + wxyz quaternion
     (reference geom.py:47-59)."""
     T = np.eye(4)
     if quat is not None:
-        q = np.asarray(quat, dtype=np.float64)
-        w, x, y, z = q
-        T[:3, :3] = np.array(
-            [
-                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-            ]
-        )
+        T[:3, :3] = quat_to_R_np(quat)
     if trans is not None:
         T[:3, 3] = np.asarray(trans)
     return T

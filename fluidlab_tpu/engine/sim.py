@@ -219,7 +219,9 @@ class FluidSim:
                 # state.effectors[i].{quat,pos} — the inverse of the
                 # collider's world->local map above
                 self.effector_visuals.append(dict(
-                    index=len(eff_cfgs), file=file, T_init=T_init,
+                    index=len(eff_cfgs),
+                    file=mesh_cfg.get("file_vis", file),
+                    T_init=T_init,
                     material=mat_id,
                 ))
 

@@ -185,7 +185,7 @@ class Solver:
 
             print(
                 f"=======> iter {iteration}: loss {loss_info['loss']:.4f} "
-                f"fwd+bwd {t2 - t1:.2f}s"
+                f"fwd+bwd {t2 - t1:.2f}s", flush=True,
             )
             if self.logger is not None:
                 loss_info["lr"] = policy.optim.lr

@@ -181,23 +181,13 @@ class NativeRenderer:
                 self.fov,
             )
 
-    @staticmethod
-    def _quat_to_R_np(q):
-        """wxyz quaternion -> 3x3 rotation (numpy twin of
-        core/quat.py quat_to_R; host-side so a render never dispatches
-        a device op)."""
-        w, x, y, z = float(q[0]), float(q[1]), float(q[2]), float(q[3])
-        return np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ], np.float64)
-
     def render_frame(self, sim, mode="rgb_array", tgt_particles=None):
         W, H = self.res
+        from fluidlab_tpu.core.quat import quat_to_R_np
+
         for idx, mid, base in getattr(self, "_eff_meshes", ()):
             eff = sim.state.effectors[idx]
-            R = self._quat_to_R_np(np.asarray(eff.quat, np.float64))
+            R = quat_to_R_np(np.asarray(eff.quat, np.float64))
             pos = np.asarray(eff.pos, np.float64)
             world = (base.astype(np.float64) @ R.T + pos).astype(np.float32)
             self.lib.swr_update_mesh(

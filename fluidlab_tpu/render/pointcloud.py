@@ -112,15 +112,11 @@ class PointRenderer:
             )
             clouds.append((x[used], pcolors))
         clouds.extend(getattr(self, "_static_pts", []))
+        from fluidlab_tpu.core.quat import quat_to_R_np
+
         for idx, base, rgb in getattr(self, "_eff_pts", ()):
             eff = sim.state.effectors[idx]
-            q = np.asarray(eff.quat, np.float64)
-            w, qx, qy, qz = q
-            Rm = np.array([
-                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - w * qz), 2 * (qx * qz + w * qy)],
-                [2 * (qx * qy + w * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - w * qx)],
-                [2 * (qx * qz - w * qy), 2 * (qy * qz + w * qx), 1 - 2 * (qx * qx + qy * qy)],
-            ])
+            Rm = quat_to_R_np(np.asarray(eff.quat, np.float64))
             clouds.append((base @ Rm.T + np.asarray(eff.pos, np.float64), rgb))
 
         if sim.state.smoke is not None:

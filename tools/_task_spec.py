@@ -1,0 +1,60 @@
+"""Shared solve-spec env builder for the hardware solve and replay
+tools — ONE source of truth for the density / horizon / pool knobs so a
+replay (tools/render_task_policy.py) always reconstructs exactly the
+scene its policy was solved on (tools/tpu_task_solve.py).
+
+Env knobs read here:
+  FL_TASK_FRAC     density fraction of the class default (default 0.25)
+  FL_TASK_DENSITY  absolute particle_density override (wins over FRAC)
+  FL_TASK_POOL     pool_scale override (injector tasks)
+  FL_TASK_H        horizon override (horizon_action clamped to it)
+"""
+import os
+
+
+def resolve_task(name):
+    """Experiment short name -> (exp cfg dict, env id, env class)."""
+    from fluidlab_tpu.config.experiments import load_config
+    from fluidlab_tpu.envs import tasks as T
+
+    cfg = load_config(name)
+    env_id = cfg["EXP"]["env_name"]
+    base_cls = getattr(T, env_id.replace("-v0", "") + "Env")
+    return cfg, env_id, base_cls
+
+
+def make_spec_cls(base_cls, renderer=False):
+    """Subclass ``base_cls`` at the env-knob solve spec.
+
+    renderer=False silences the renderer (solve processes); True keeps
+    the env's own camera setup on the native renderer (replay/render).
+    """
+    frac = float(os.environ.get("FL_TASK_FRAC", 0.25))
+    density = os.environ.get("FL_TASK_DENSITY")
+    pool = os.environ.get("FL_TASK_POOL")
+    ref_density = float(getattr(base_cls, "particle_density", 1e6))
+
+    class SpecTask(base_cls):
+        if os.environ.get("FL_TASK_H"):
+            horizon = int(os.environ["FL_TASK_H"])
+            horizon_action = min(
+                int(os.environ["FL_TASK_H"]), base_cls.horizon_action
+            )
+
+        def __init__(self, **kw):
+            if density is not None:
+                kw.setdefault("particle_density", float(density))
+            else:
+                kw.setdefault("particle_density", frac * ref_density)
+            if pool is not None:
+                kw.setdefault("pool_scale", float(pool))
+            if renderer:
+                kw.setdefault("renderer_type", "native")
+            super().__init__(**kw)
+
+    if not renderer:
+        def setup_renderer(self):
+            self.sim.renderer = None
+
+        SpecTask.setup_renderer = setup_renderer
+    return SpecTask

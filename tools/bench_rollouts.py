@@ -65,7 +65,7 @@ def main():
     print(
         f"devices={n_dev} K={K} N={N} H={H}: "
         f"{K / dt:8.2f} rollouts/s (fwd+bwd), {dt*1e3:8.1f} ms/iter, "
-        f"compile {t_compile:.0f}s, best loss {best:.4f}"
+        f"compile {t_compile:.0f}s, best loss {best:.4f}", flush=True,
     )
 
 

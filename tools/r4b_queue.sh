@@ -19,6 +19,8 @@ mkdir -p "$A"
 DEADLINE_TS="${DEADLINE_TS:?set DEADLINE_TS (epoch seconds)}"
 
 left() { echo $(( DEADLINE_TS - $(date +%s) )); }
+# cap a job's TOTAL_T so nothing holds the chip past DEADLINE_TS
+capped() { l=$(( $(left) - 300 )); echo $(( l < $1 ? l : $1 )); }
 stage_done() { grep -q "^$1$" "$A/stages.done" 2>/dev/null; }
 mark_done() { echo "$1" >> "$A/stages.done"; }
 
@@ -41,13 +43,13 @@ PY
 CIRC_TARGET="${CIRC_TARGET:-120}"
 if ! stage_done circ; then
     while [ "$(circ_iters)" -lt "$CIRC_TARGET" ] && [ "$(left)" -gt 3000 ]; do
-        LOG=/tmp/circ_cold.log INIT_T=420 TOTAL_T=3600 TRIES=8 \
+        LOG=/tmp/circ_cold.log INIT_T=420 TOTAL_T="$(capped 3600)" TRIES=8 \
             STALL_T=300 MARKER="env built|resuming at iteration" \
             FL_CIRC_H=500 FL_SEGLEN=50 FL_SOLVE_ITERS=20 \
             FL_CHAIN_STATE="$A/circ_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/circ_cold_course.log" \
             FL_SOLVE_POLICY_OUT="$A/circulation_solve_r4b_policy.pkl" \
-            "$D/tpu_retry.sh" python "$D/tpu_circulation_solve.py" || break
+            "$D/tpu_retry.sh" python -u "$D/tpu_circulation_solve.py" || break
     done
     echo "CIRC at $(circ_iters) iters" >> /tmp/r4b.log
     [ "$(circ_iters)" -ge "$CIRC_TARGET" ] && mark_done circ
@@ -67,7 +69,7 @@ for TASK in pouring gathering_easy icecream_static; do
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
           && [ "$(left)" -gt 1200 ]; do
-        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T=3600 TRIES=6 \
+        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T="$(capped 3600)" TRIES=6 \
             STALL_T=1200 MARKER="env:" \
             FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
@@ -85,11 +87,13 @@ if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
     for KN in "1 8192" "2 8192" "4 8192" "8 8192" "1 65536" "2 65536"; do
         [ "$(left)" -gt 1200 ] || break
         set -- $KN
-        LOG="$A/rollouts_r4.log" INIT_T=420 TOTAL_T=2400 TRIES=5 \
-            STALL_T=900 MARKER="rollouts/s" \
-            "$D/tpu_retry.sh" python "$D/bench_rollouts.py" "$1" "$2" 20
+        LOG="$A/rollouts_r4.log" INIT_T=420 TOTAL_T="$(capped 2400)" TRIES=5 \
+            STALL_T=900 MARKER="transfers:" \
+            "$D/tpu_retry.sh" python -u "$D/bench_rollouts.py" "$1" "$2" 20
     done
-    mark_done rollouts
+    # done only when every config produced a measurement (a hard
+    # tunnel outage must leave the stage retryable)
+    [ "$(grep -c 'rollouts/s' "$A/rollouts_r4.log")" -ge 6 ] && mark_done rollouts
 fi
 
 # ---- stage 3b: two more task solves if time allows (broader
@@ -104,7 +108,7 @@ for TASK in latteart_stir transporting; do
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
           && [ "$(left)" -gt 1200 ]; do
-        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T=2700 TRIES=4 \
+        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T="$(capped 2700)" TRIES=4 \
             STALL_T=1200 MARKER="env:" \
             FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \

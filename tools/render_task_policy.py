@@ -35,38 +35,16 @@ import jax
 jax.config.update("jax_platforms", os.environ.get("BENCH_PLATFORM", "cpu"))
 import numpy as np
 
-from fluidlab_tpu.config.experiments import load_config
-from fluidlab_tpu.envs import tasks as T
+from _task_spec import make_spec_cls, resolve_task
 
 NAME = os.environ.get("FL_TASK", "pouring")
-cfg = load_config(NAME)
-env_id = cfg["EXP"]["env_name"]
-base_cls = getattr(T, env_id.replace("-v0", "") + "Env")
+cfg, env_id, base_cls = resolve_task(NAME)
 
-frac = float(os.environ.get("FL_TASK_FRAC", 0.25))
-density = os.environ.get("FL_TASK_DENSITY")
-pool = os.environ.get("FL_TASK_POOL")
 POLICY = os.environ.get(
     "FL_POLICY", f"artifacts/r4b/{NAME}_solve_r4_policy.pkl")
 OUT = os.environ.get("FL_RENDER_OUT", f"artifacts/{NAME}_solve_r4.png")
-REF_DENSITY = float(getattr(base_cls, "particle_density", 1e6))
 
-
-class RenderTask(base_cls):
-    if os.environ.get("FL_TASK_H"):
-        horizon = int(os.environ["FL_TASK_H"])
-        horizon_action = min(int(os.environ["FL_TASK_H"]),
-                             base_cls.horizon_action)
-
-    def __init__(self, **kw):
-        if density is not None:
-            kw.setdefault("particle_density", float(density))
-        else:
-            kw.setdefault("particle_density", frac * REF_DENSITY)
-        if pool is not None:
-            kw.setdefault("pool_scale", float(pool))
-        kw.setdefault("renderer_type", "native")
-        super().__init__(**kw)
+RenderTask = make_spec_cls(base_cls, renderer=True)
 
 
 with open(POLICY, "rb") as f:

@@ -31,48 +31,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 
-from fluidlab_tpu.config.experiments import load_config
-from fluidlab_tpu.envs import tasks as T
 from fluidlab_tpu.optimizer.recorder import Recorder
 from fluidlab_tpu.optimizer.solver import Solver
+from _task_spec import make_spec_cls, resolve_task
 
 NAME = os.environ.get("FL_TASK", "pouring")
-cfg = load_config(NAME)
-env_id = cfg["EXP"]["env_name"]  # e.g. Pouring-v0
-cls_name = env_id.replace("-v0", "") + "Env"
-base_cls = getattr(T, cls_name)
+cfg, env_id, base_cls = resolve_task(NAME)
 
-frac = float(os.environ.get("FL_TASK_FRAC", 0.25))
-density = os.environ.get("FL_TASK_DENSITY")
-pool = os.environ.get("FL_TASK_POOL")
 STATE = os.environ.get("FL_CHAIN_STATE", f"/tmp/{NAME}_chain_state.pkl")
 COURSE = os.environ.get("FL_CHAIN_COURSE", f"/tmp/{NAME}_chain_course.log")
 TARGET = f"/tmp/{NAME}_tpu_target.pkl"
 
 
-# the reference density is the env's class attribute default
-REF_DENSITY = float(getattr(base_cls, "particle_density", 1e6))
-
-
-class HwTask(base_cls):
-    if os.environ.get("FL_TASK_H"):
-        horizon = int(os.environ["FL_TASK_H"])
-        horizon_action = min(
-            int(os.environ["FL_TASK_H"]), base_cls.horizon_action
-        )
-
-    def __init__(self, **kw):
-        if density is not None:
-            kw.setdefault("particle_density", float(density))
-        else:
-            kw.setdefault("particle_density", frac * REF_DENSITY)
-        if pool is not None:
-            kw.setdefault("pool_scale", float(pool))
-        super().__init__(**kw)
-
-    def setup_renderer(self):
-        self.sim.renderer = None
-
+class HwTask(make_spec_cls(base_cls, renderer=False)):
     def build_env(self):
         # target_file is set by the task __init__ before build
         # (envs/tasks.py) — tasks without one never define it
