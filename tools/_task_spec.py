@@ -58,3 +58,65 @@ def make_spec_cls(base_cls, renderer=False):
 
         SpecTask.setup_renderer = setup_renderer
     return SpecTask
+
+
+class ChainCourseLogger:
+    """Course-line logger + best-iterate policy capture for the chained
+    solve tools.
+
+    Solver.solve calls ``save_policy(policy, i)`` BEFORE evaluating
+    iteration i and ``log(i, info)`` after (by which time the live
+    policy has already been Adam-updated) — so the stash taken in
+    save_policy is exactly the iterate that produced ``info['loss']``.
+    The best iterate across ALL segments persists at ``best_out``
+    (existing file seeds the threshold on resume).
+    """
+
+    def __init__(self, course=None, best_out=None):
+        import time
+
+        self.course = course
+        self.best_out = best_out
+        self.t_last = time.time()
+        self.best = float("inf")
+        self._stash = None
+        if best_out and os.path.exists(best_out):
+            import pickle
+
+            with open(best_out, "rb") as f:
+                self.best = float(pickle.load(f).get("loss", float("inf")))
+
+    def save_policy(self, policy, iteration):
+        if self.best_out:
+            import numpy as np
+
+            ap = policy.actions_p
+            self._stash = (
+                np.asarray(policy.actions_v).copy(),
+                None if ap is None else np.asarray(ap).copy(),
+            )
+
+    def log(self, iteration, info):
+        import time
+
+        now = time.time()
+        if self.course:
+            with open(self.course, "a") as f:
+                f.write(
+                    f"{iteration} {info['loss']:.4f} "
+                    f"{now - self.t_last:.1f} lr={info.get('lr', 0):.2e} "
+                    f"tr={info.get('temporal_range')}\n"
+                )
+        self.t_last = now
+        if self.best_out and self._stash is not None \
+                and float(info["loss"]) < self.best:
+            import pickle
+
+            self.best = float(info["loss"])
+            tmp = self.best_out + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"actions_v": self._stash[0],
+                             "actions_p": self._stash[1],
+                             "iteration": iteration,
+                             "loss": self.best}, f)
+            os.replace(tmp, self.best_out)

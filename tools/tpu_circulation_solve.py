@@ -59,24 +59,15 @@ if STATE and os.path.exists(STATE):
     print(f"resuming at iteration {resume['iteration']}", flush=True)
 
 
-class CourseLogger:
-    def __init__(self):
-        self.t_last = time.time()
+from _task_spec import ChainCourseLogger  # noqa: E402
 
-    def save_policy(self, policy, iteration):
-        pass
-
-    def log(self, iteration, info):
-        if not COURSE:
-            return
-        now = time.time()
-        with open(COURSE, "a") as f:
-            f.write(f"{iteration} {info['loss']:.4f} "
-                    f"{now - self.t_last:.1f} lr={info.get('lr', 0):.2e}\n")
-        self.t_last = now
+OUT_PKL = os.environ.get("FL_SOLVE_POLICY_OUT")
+BEST = os.environ.get("FL_SOLVE_BEST_OUT") or (
+    OUT_PKL.replace(".pkl", "_best.pkl") if OUT_PKL else None
+)
 
 
-solver = Solver(env, logger=CourseLogger(), cfg=dict(
+solver = Solver(env, logger=ChainCourseLogger(COURSE, BEST), cfg=dict(
     n_iters=int(os.environ.get("FL_SOLVE_ITERS", 3)),
     init_range=cfg["SOLVER"]["init_range"],
     optim=cfg["SOLVER"]["optim"],
@@ -91,7 +82,7 @@ if STATE:
         _pkl.dump(snap, f)
     os.replace(STATE + ".tmp", STATE)
     print(f"SEGMENT DONE at iteration {snap['iteration']}", flush=True)
-out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT")
+out_pkl = OUT_PKL
 if out_pkl:
     import pickle
     import numpy as np

@@ -58,19 +58,11 @@ class FullLatte(LatteArtEnv):
         super().setup_loss()
 
 
-class CourseLogger:
-    def __init__(self, t0):
-        self.t_last = t0
+from _task_spec import ChainCourseLogger  # noqa: E402
 
-    def save_policy(self, policy, iteration):
-        pass
-
-    def log(self, iteration, info):
-        now = time.time()
-        with open(COURSE, "a") as f:
-            f.write(f"{iteration} {info['loss']:.4f} "
-                    f"{now - self.t_last:.1f} tr={info['temporal_range']}\n")
-        self.t_last = now
+BEST = os.environ.get(
+    "FL_SOLVE_BEST_OUT", STATE.replace(".pkl", "_best_policy.pkl")
+)
 
 
 resume = None
@@ -95,7 +87,7 @@ print(f"env: N={env.sim.cfg.n_particles} seg_len={env.sim.auto_seg_len()} "
       f"({time.time()-t0:.0f}s)", flush=True)
 
 n_left = TARGET_ITERS - (resume["iteration"] if resume else 0)
-solver = Solver(env, logger=CourseLogger(time.time()), cfg=dict(
+solver = Solver(env, logger=ChainCourseLogger(COURSE, BEST), cfg=dict(
     n_iters=min(SEG, n_left),
     init_range=dict(v=((0., 0., 0.), (0., 0., 0.)),
                     p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5))),

@@ -33,7 +33,7 @@ import numpy as np
 
 from fluidlab_tpu.optimizer.recorder import Recorder
 from fluidlab_tpu.optimizer.solver import Solver
-from _task_spec import make_spec_cls, resolve_task
+from _task_spec import ChainCourseLogger, make_spec_cls, resolve_task
 
 NAME = os.environ.get("FL_TASK", "pouring")
 cfg, env_id, base_cls = resolve_task(NAME)
@@ -71,25 +71,16 @@ if os.path.exists(STATE):
     print(f"resuming at iteration {resume['iteration']}", flush=True)
 
 
-class CourseLogger:
-    def __init__(self):
-        self.t_last = time.time()
-
-    def save_policy(self, policy, iteration):
-        pass
-
-    def log(self, iteration, info):
-        now = time.time()
-        with open(COURSE, "a") as f:
-            f.write(f"{iteration} {info['loss']:.4f} "
-                    f"{now - self.t_last:.1f} tr={info['temporal_range']}\n")
-        self.t_last = now
+OUT_PKL = os.environ.get("FL_SOLVE_POLICY_OUT")
+BEST = os.environ.get("FL_SOLVE_BEST_OUT") or (
+    OUT_PKL.replace(".pkl", "_best.pkl") if OUT_PKL else None
+)
 
 
 env = HwTask(loss=True, seed=0)
 print(f"solve env built seg_len={env.sim.auto_seg_len()} "
       f"({time.time()-t0:.0f}s)", flush=True)
-solver = Solver(env, logger=CourseLogger(), cfg=dict(
+solver = Solver(env, logger=ChainCourseLogger(COURSE, BEST), cfg=dict(
     n_iters=int(os.environ.get("FL_SOLVE_ITERS", 20)),
     init_range=cfg["SOLVER"]["init_range"],
     optim=cfg["SOLVER"]["optim"],
@@ -100,7 +91,7 @@ snap = solver.snapshot()
 with open(STATE + ".tmp", "wb") as f:
     pickle.dump(snap, f)
 os.replace(STATE + ".tmp", STATE)
-out_pkl = os.environ.get("FL_SOLVE_POLICY_OUT")
+out_pkl = OUT_PKL
 if out_pkl:
     with open(out_pkl, "wb") as f:
         pickle.dump({"actions_v": np.asarray(policy.actions_v),
