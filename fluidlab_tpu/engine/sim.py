@@ -518,6 +518,15 @@ class FluidSim:
             return None
         budget = 1e8
         l_max = max(1, min(horizon, int(budget / max(work, 1))))
+        # SECOND bound: backward residuals accrue PER SUBSTEP (grid
+        # regions + particle saves), so a low-N/high-H scene passes the
+        # particle-work bound yet blows HBM — Pouring (10k x 20 x 1000)
+        # picked L=500 -> 10,000 substeps of residuals and crashed the
+        # TPU worker (r4b).  Cap substeps per segment near the
+        # measured-safe points (1000 @46k monolithic r3, 500 @115k
+        # LatteArt): 2000 by default, FL_SEG_SUBSTEPS overrides.
+        s_cap = int(_os.environ.get("FL_SEG_SUBSTEPS", 2000))
+        l_max = min(l_max, max(1, s_cap // max(self.cfg.n_substeps, 1)))
         for L in range(l_max, 0, -1):
             if horizon % L == 0:
                 return L
