@@ -63,8 +63,15 @@ p = "/root/repo/artifacts/r4b/${1}_chain_state.pkl"
 print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
 PY
 }
-for TASK in pouring gathering_easy icecream_static; do
+# order: the task that FAULTS the worker (pouring, r2-class
+# agent+collector+grad fault — see RESULTS.md r4b) goes LAST with a
+# conservative forced segment; a crashed worker poisons the next
+# launch, so give it 120s to restart between tasks.
+for TASK in gathering_easy icecream_static pouring; do
     if stage_done "task_$TASK"; then continue; fi
+    sleep 120
+    EXTRA_ENV=""
+    [ "$TASK" = pouring ] && EXTRA_ENV="FL_SEGLEN=50"
     T_END=$(( $(date +%s) + 4500 ))
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
@@ -75,7 +82,7 @@ for TASK in pouring gathering_easy icecream_static; do
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/${TASK}_course.log" \
             FL_SOLVE_POLICY_OUT="$A/${TASK}_solve_r4_policy.pkl" \
-            "$D/tpu_retry.sh" python -u "$D/tpu_task_solve.py" || break
+            "$D/tpu_retry.sh" env $EXTRA_ENV python -u "$D/tpu_task_solve.py" || break
     done
     echo "TASK $TASK at $(task_iters $TASK) iters" >> /tmp/r4b.log
     [ "$(task_iters $TASK)" -ge 20 ] && mark_done "task_$TASK"
