@@ -61,7 +61,7 @@ def main():
     os.makedirs("artifacts", exist_ok=True)
 
     # --- LatteArt chain (single series: no legend, title names it)
-    it, lo = read_course("/tmp/latte_chain_course.log")
+    it, lo = read_course(os.environ.get("FL_LATTE_COURSE", "artifacts/r4b/latte_chain_course.log"))
     if len(it):
         fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=110)
         fig.patch.set_facecolor(SURFACE)
@@ -84,7 +84,7 @@ def main():
 
     # --- Circulation: cold-start w/ schedule vs r3 constant-lr (two
     # entities -> legend + direct labels)
-    itc, loc_ = read_course("/tmp/circ_cold_course.log")
+    itc, loc_ = read_course(os.environ.get("FL_CIRC_COURSE", "artifacts/r4b/circ_cold_course.log"))
     it3, lo3 = read_course("artifacts/circulation_r3_course.log")
     if not len(it3):
         # r3 log format: "=======> iter N: loss X fwd+bwd Ys"
@@ -105,10 +105,14 @@ def main():
         fig.patch.set_facecolor(SURFACE)
         style_ax(ax)
         if len(it3):
-            ax.plot(it3, lo3, color=ORANGE, lw=2,
-                    label="r3: constant lr 5e-3 (diverges after iter 41)")
+            ax.plot(it3, lo3, color=ORANGE, lw=2, ls=(0, (4, 2)),
+                    label="r3: constant lr 5e-3 (identical seed; curves "
+                          "coincide until the first halving at iter 61)")
         ax.plot(itc, loc_, color=BLUE, lw=2,
-                label="r4: plateau-halving lr schedule")
+                label="r4: plateau-halving lr schedule (patience 20)")
+        for dx in (61, 81, 102):  # lr halvings (course log lr column)
+            if len(itc) and dx <= itc[-1]:
+                ax.axvline(dx, color="#e8e7e3", lw=1, zorder=0)
         ax.set_xlabel("Adam iteration", color=INK2, fontsize=10)
         ax.set_ylabel("rollout loss", color=INK2, fontsize=10)
         ax.set_title(
