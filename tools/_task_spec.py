@@ -80,11 +80,14 @@ class ChainCourseLogger:
         self.t_last = time.time()
         self.best = float("inf")
         self._stash = None
+        self._tr = None
         if best_out and os.path.exists(best_out):
             import pickle
 
             with open(best_out, "rb") as f:
-                self.best = float(pickle.load(f).get("loss", float("inf")))
+                d = pickle.load(f)
+            self.best = float(d.get("loss", float("inf")))
+            self._tr = d.get("temporal_range")
 
     def save_policy(self, policy, iteration):
         if self.best_out:
@@ -108,6 +111,14 @@ class ChainCourseLogger:
                     f"tr={info.get('temporal_range')}\n"
                 )
         self.t_last = now
+        # losses are only comparable within one temporal-curriculum
+        # range (expansion rescales the objective) — reset the
+        # threshold when the range moves so "best" tracks the CURRENT
+        # phase, i.e. the most-optimized full-horizon iterate late on
+        tr = info.get("temporal_range")
+        if self._tr is not None and tr != self._tr:
+            self.best = float("inf")
+        self._tr = tr
         if self.best_out and self._stash is not None \
                 and float(info["loss"]) < self.best:
             import pickle
@@ -118,5 +129,6 @@ class ChainCourseLogger:
                 pickle.dump({"actions_v": self._stash[0],
                              "actions_p": self._stash[1],
                              "iteration": iteration,
-                             "loss": self.best}, f)
+                             "loss": self.best,
+                             "temporal_range": tr}, f)
             os.replace(tmp, self.best_out)
