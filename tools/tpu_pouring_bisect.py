@@ -1,0 +1,119 @@
+"""Bisect the Pouring TPU worker fault (open item (d), RESULTS.md r4b).
+
+Pouring (agent collide_type='both' + collector + live gradient) kernel-
+faults the v5e worker even at FL_SEGLEN=50; LatteArt's injector+grad
+chain is fine, so the trigger is one of the grid/particle agent-coupling
+gates under grad.  This tool runs a short fwd+bwd Pouring solve
+(FL_BISECT_ITERS, default 1) with a single gate configuration selected
+by FL_BISECT_GATE:
+
+  both       collide_type='both', collector on   (baseline: FAULTS)
+  grid       collide_type='grid', collector on
+  particle   collide_type='particle', collector on
+  none       collide_type=None,  collector on
+  nocollect  collide_type='both', collector OFF
+  fwdonly    baseline gates, gradient OFF        (control: should pass)
+
+Prints "GATE <name> SURVIVED" on success; a worker kernel fault kills
+the process before that line.  Drive under tools/tpu_retry.sh with
+120 s pauses between gates (a crashed worker poisons the next
+process's first dispatch for ~1-2 min) — see tools/r5_pouring_bisect.sh.
+
+Reference anchor: pouring_env.py:12-97, agent_pouring.py (collide
+dispatch + collect), mpm_simulator.py:331-426 (grid/particle collide
+call sites).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
+# Short horizon: the r4b fault fired within the FIRST backward segment
+# (2,000 substeps); H=150 x 20 substeps = 3,000 covers it at 1/4
+# density while keeping each gate run to a couple of minutes.
+os.environ.setdefault("FL_TASK_H", os.environ.get("FL_BISECT_H", "150"))
+import jax
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+
+from fluidlab_tpu.engine import sim as sim_mod
+from fluidlab_tpu.optimizer.solver import Solver
+from _task_spec import make_spec_cls, resolve_task
+
+GATE = os.environ.get("FL_BISECT_GATE", "both")
+GATES = {
+    "both": dict(collide_type="both", collector=True, grad=True),
+    "grid": dict(collide_type="grid", collector=True, grad=True),
+    "particle": dict(collide_type="particle", collector=True, grad=True),
+    "none": dict(collide_type=None, collector=True, grad=True),
+    "nocollect": dict(collide_type="both", collector=False, grad=True),
+    "fwdonly": dict(collide_type="both", collector=True, grad=False),
+}
+spec = GATES[GATE]
+
+# Gate 1/2: the agent-coupling collide mode (sim.setup_agent reads
+# _AGENT_TYPE_DEFAULTS at build time — patch before env construction).
+sim_mod._AGENT_TYPE_DEFAULTS["AgentPouring"] = dict(
+    collide_type=spec["collide_type"]
+)
+
+cfg, env_id, base_cls = resolve_task("pouring")
+Base = make_spec_cls(base_cls, renderer=False)
+
+
+class BisectPouring(Base):
+    def setup_agent(self):
+        if spec["collector"]:
+            return super().setup_agent()
+        # Gate 3: strip the collector (the same-substep out-of-boundary
+        # particle collection path) before the sim builds AgentCfg
+        orig = self.sim.setup_agent
+
+        def patched(agent_cfg):
+            agent_cfg.get("params", {}).pop("collector_boundary", None)
+            return orig(agent_cfg)
+
+        self.sim.setup_agent = patched
+        try:
+            super().setup_agent()
+        finally:
+            self.sim.setup_agent = orig
+
+
+class _PrintLogger:
+    def save_policy(self, policy, iteration):
+        pass
+
+    def log(self, iteration, info):
+        print(f"iter {iteration} loss {info.get('loss')}", flush=True)
+
+
+t0 = time.time()
+env = BisectPouring(loss=True, seed=0)
+print(f"env: {env_id} gate={GATE} N={env.sim.cfg.n_particles} "
+      f"H={env.horizon} collide={spec['collide_type']} "
+      f"collector={spec['collector']} grad={spec['grad']} "
+      f"({time.time()-t0:.0f}s)", flush=True)
+
+if spec["grad"]:
+    solver = Solver(env, logger=_PrintLogger(), cfg=dict(
+        n_iters=int(os.environ.get("FL_BISECT_ITERS", 1)),
+        init_range=cfg["SOLVER"]["init_range"],
+        optim=cfg["SOLVER"]["optim"],
+    ))
+    solver.solve()
+else:
+    env.reset()
+    a = np.zeros(env.sim.action_dim, np.float32)
+    for _ in range(env.horizon):
+        _, reward, done, _ = env.step(a)
+        if done:
+            break
+    print(f"fwd reward tail {reward}", flush=True)
+
+print(f"GATE {GATE} SURVIVED", flush=True)
