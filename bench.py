@@ -38,11 +38,22 @@ def supervise():
     compilation cache, so retries are cheap).  The child's stdout (the
     single JSON line) is passed through verbatim.
     """
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", 4))
-    init_t = float(os.environ.get("BENCH_INIT_TIMEOUT", 420))
-    total_t = float(os.environ.get("BENCH_TOTAL_TIMEOUT", 3600))
+    # Fail-fast defaults (round-5): the server-side compile cache makes a
+    # warm attempt take seconds, so favor many short attempts over few
+    # long ones, and honor a TOTAL wall budget that fits inside the
+    # driver's own timeout (BENCH_r04.json rc=124 was the old 4x420s+3600s
+    # worst case outlasting it).  Worst case here: 8 x 150s init wedges
+    # = 1200s, hard-capped at BENCH_TOTAL_BUDGET.
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 8))
+    init_t = float(os.environ.get("BENCH_INIT_TIMEOUT", 150))
+    total_t = float(os.environ.get("BENCH_TOTAL_TIMEOUT", 480))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 1500))
+    t_start = time.time()
     env = dict(os.environ, BENCH_CHILD="1")
     for attempt in range(attempts):
+        if time.time() - t_start > total_budget - 30:
+            sys.stderr.write("bench: total budget exhausted\n")
+            break
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -61,6 +72,7 @@ def supervise():
             budget = (init_t if not inited else total_t) - (
                 time.time() - t0
             )
+            budget = min(budget, t_start + total_budget - time.time())
             if budget <= 0:
                 break
             events = sel.select(timeout=min(budget, 10.0))

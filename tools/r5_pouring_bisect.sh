@@ -11,7 +11,8 @@ mkdir -p "$A"
 V="$A/pouring_bisect.log"
 
 for GATE in fwdonly none grid particle nocollect both; do
-    grep -q "^GATE $GATE " "$V" 2>/dev/null && continue
+    # only a SURVIVED/FAULTED verdict skips; WEDGED (inconclusive) re-runs
+    grep -qE "^GATE $GATE (SURVIVED|FAULTED)" "$V" 2>/dev/null && continue
     LOG=/tmp/bisect_$GATE.log INIT_T=600 TOTAL_T=2400 TRIES=3 \
         STALL_T=900 MARKER="env:" \
         FL_BISECT_GATE=$GATE \
@@ -19,7 +20,14 @@ for GATE in fwdonly none grid particle nocollect both; do
     rc=$?
     if grep -q "SURVIVED" /tmp/bisect_$GATE.log; then
         grep "GATE $GATE SURVIVED" /tmp/bisect_$GATE.log >> "$V"
+    elif [ "$rc" = 2 ] || [ "$rc" = 3 ]; then
+        # tpu_retry total-timeout (2) / all-attempts-wedged (3): tunnel
+        # trouble, NOT evidence about the gate — record inconclusive so
+        # the next queue pass retries it
+        echo "GATE $GATE WEDGED (rc=$rc)" >> "$V"
     else
+        # marker-confirmed run (tpu_retry only propagates the child's rc
+        # after the liveness marker appeared) that died before SURVIVED
         echo "GATE $GATE FAULTED (rc=$rc)" >> "$V"
     fi
     sleep 120

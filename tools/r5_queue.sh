@@ -25,15 +25,20 @@ mark_done() { echo "$1" >> "$A/stages.done"; }
 
 # ---- stage 0: bench sanity -----------------------------------------
 if ! stage_done bench && [ "$(left)" -gt 6000 ]; then
-    BENCH_TOTAL_TIMEOUT=2400 BENCH_ATTEMPTS=6 \
-        python bench.py > "$A/bench.json" 2> /tmp/bench_r5.err
-    mark_done bench
+    if BENCH_TOTAL_BUDGET=2400 BENCH_ATTEMPTS=10 \
+        python bench.py > "$A/bench.json" 2> /tmp/bench_r5.err \
+        && grep -q '"metric"' "$A/bench.json"; then
+        mark_done bench
+    fi
 fi
 
 # ---- stage 1: pouring bisect (~6 gates x ~8 min incl. pauses) ------
 if ! stage_done bisect && [ "$(left)" -gt 7200 ]; then
     bash "$D/r5_pouring_bisect.sh"
-    grep -q "BISECT DONE" "$A/pouring_bisect.log" && mark_done bisect
+    # done only when all 6 gates have a REAL verdict (WEDGED lines are
+    # inconclusive tunnel outages and must re-run on the next pass)
+    [ "$(grep -cE '^GATE [a-z]+ (SURVIVED|FAULTED)' "$A/pouring_bisect.log")" -ge 6 ] \
+        && mark_done bisect
 fi
 
 # ---- stage 2: LatteArt chain to 500 (resumes r4c state) ------------
@@ -46,9 +51,9 @@ PY
 }
 LATTE_TARGET="${LATTE_TARGET:-500}"
 # ~67 s/iter: budget the chain window to what remains after reserving
-# ~4h for stages 3-5; override with LATTE_BUDGET_S.
+# ~3.3h for stages 3-5; override with LATTE_BUDGET_S.
 LATTE_END=$(( $(date +%s) + ${LATTE_BUDGET_S:-28800} ))
-[ "$LATTE_END" -gt $(( DEADLINE_TS - 14400 )) ] && LATTE_END=$(( DEADLINE_TS - 14400 ))
+[ "$LATTE_END" -gt $(( DEADLINE_TS - 12000 )) ] && LATTE_END=$(( DEADLINE_TS - 12000 ))
 if ! stage_done latte; then
     while [ "$(latte_iters)" -lt "$LATTE_TARGET" ] \
           && [ "$(date +%s)" -lt "$LATTE_END" ] && [ "$(left)" -gt 1200 ]; do
@@ -63,6 +68,26 @@ if ! stage_done latte; then
     done
     echo "LATTE at $(latte_iters) iters" >> "$A/queue.log"
     [ "$(latte_iters)" -ge "$LATTE_TARGET" ] && mark_done latte
+fi
+
+# ---- stage 4: rollouts/s K-sweep (bounded ~40 min; runs BEFORE the
+# open-ended task solves so the stale-r2-headline replacement is not
+# starved by them) ---------------------------------------------------
+if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
+    for KN in "1 8192" "2 8192" "4 8192" "8 8192" "1 65536" "2 65536"; do
+        [ "$(left)" -gt 1200 ] || break
+        set -- $KN
+        # skip configs that already have a result line (retry passes)
+        grep "rollouts/s" "$A/rollouts_r5.log" 2>/dev/null \
+            | grep -q "K=$1 N=$2 " && continue
+        LOG="$A/rollouts_r5.log" INIT_T=420 TOTAL_T="$(capped 2400)" TRIES=5 \
+            STALL_T=900 MARKER="transfers:" \
+            "$D/tpu_retry.sh" python -u "$D/bench_rollouts.py" "$1" "$2" 20
+    done
+    # count DISTINCT measured configs, not raw lines (retries duplicate)
+    NDIST=$(grep "rollouts/s" "$A/rollouts_r5.log" 2>/dev/null \
+        | grep -o 'K=[0-9]* N=[0-9]*' | sort -u | wc -l)
+    [ "$NDIST" -ge 6 ] && mark_done rollouts
 fi
 
 # ---- stages 3+5: task solves ---------------------------------------
@@ -92,19 +117,6 @@ for TASK in icecream_static latteart_stir transporting; do
     echo "TASK $TASK at $(task_iters $TASK) iters" >> "$A/queue.log"
     [ "$(task_iters $TASK)" -ge 20 ] && mark_done "task_$TASK"
 done
-
-# ---- stage 4: rollouts/s K-sweep -----------------------------------
-if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
-    : > "$A/rollouts_r5.log"
-    for KN in "1 8192" "2 8192" "4 8192" "8 8192" "1 65536" "2 65536"; do
-        [ "$(left)" -gt 1200 ] || break
-        set -- $KN
-        LOG="$A/rollouts_r5.log" INIT_T=420 TOTAL_T="$(capped 2400)" TRIES=5 \
-            STALL_T=900 MARKER="transfers:" \
-            "$D/tpu_retry.sh" python -u "$D/bench_rollouts.py" "$1" "$2" 20
-    done
-    [ "$(grep -c 'rollouts/s' "$A/rollouts_r5.log")" -ge 6 ] && mark_done rollouts
-fi
 
 # ---- tail: keep the latte chain eating any leftover time -----------
 while [ "$(left)" -gt 900 ] && [ "$(latte_iters)" -lt "$LATTE_TARGET" ]; do

@@ -32,7 +32,10 @@ os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
 # Short horizon: the r4b fault fired within the FIRST backward segment
 # (2,000 substeps); H=150 x 20 substeps = 3,000 covers it at 1/4
 # density while keeping each gate run to a couple of minutes.
-os.environ.setdefault("FL_TASK_H", os.environ.get("FL_BISECT_H", "150"))
+# unconditional: a stray FL_TASK_H in the environment must not silently
+# change the substep budget the fault-repro claim depends on (the 'env:'
+# line below echoes the effective H as ground truth)
+os.environ["FL_TASK_H"] = os.environ.get("FL_BISECT_H", "150")
 import jax
 
 if os.environ.get("BENCH_PLATFORM"):
