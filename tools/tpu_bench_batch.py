@@ -272,6 +272,11 @@ def main():
             _masks.grad_dot_mode.cache_clear()
     if want("smoke"):
         smoke_run("smoke")
+    for it in os.environ.get("FL_BATCH_SMOKEITERS", "").split(","):
+        # reference default is 500 Jacobi iters (smoke_field.py:20) —
+        # the 50-iter headline needs a companion number at 500
+        if it and want(f"smoke/iters:{it}"):
+            smoke_run(f"smoke/iters:{it}", iters=int(it))
     for rs in os.environ.get("FL_BATCH_SMOKERES", "").split(","):
         # 128^3 x 5 unrolled steps OOMs the 16G chip at compile (queue
         # r5); smaller res isolates the trilerp variants while the
