@@ -97,7 +97,7 @@ done
 echo "LATTE slice ended at $(latte_iters) iters" >> "$A/queue.log"
 
 # ---- task solves ----------------------------------------------------
-for TASK in icecream_static latteart_stir transporting mixing gathering_o; do
+for TASK in icecream_static latteart_stir transporting mixing gatheringO; do
     if stage_done "task_$TASK"; then continue; fi
     [ "$(left)" -gt 4500 ] || break
     sleep 120
