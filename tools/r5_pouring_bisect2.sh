@@ -15,7 +15,10 @@ mkdir -p "$A"
 V="$A/pouring_bisect.log"
 DL="${BISECT_DEADLINE_TS:-$(( $(date +%s) + 7200 ))}"
 
-for GATE in fwdonly none grid particle nocollect both; do
+# informativeness order: 'none' separates collide-vs-rest, grid/particle
+# isolate the collide half, nocollect/both/fwdonly are secondary
+# (the 'both' fault repro already has three r2-r4b sightings).
+for GATE in ${BISECT_GATES:-none grid particle nocollect both fwdonly}; do
     grep -qE "^GATE $GATE (SURVIVED|FAULTED)" "$V" 2>/dev/null && continue
     [ "$(date +%s)" -lt "$DL" ] || { echo "BISECT2 DEADLINE" >> "$V"; break; }
     : > /tmp/bisect_$GATE.log   # fresh log: no stale SURVIVED lines
