@@ -71,6 +71,17 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
     [ "$(task_iters pouring)" -ge 20 ] && mark_done task_pouring
 fi
 
+# ---- smoke @500 Jacobi + grad re-check (VERDICT weak #5) -----------
+# One process; generous stall budget (silent remote compiles run
+# 10-20 min today).  Skipped once the two result lines exist.
+if ! stage_done smoke500 && [ "$(left)" -gt 3600 ]; then
+    LOG="$A/measure_r5.log" INIT_T=420 TOTAL_T="$(capped 3000)" TRIES=2 \
+        STALL_T=2100 MARKER="devices:" \
+        FL_BATCH=smoke/iters:500,grad/w0 FL_BATCH_SMOKEITERS=500 \
+        "$D/tpu_retry.sh" python -u "$D/tpu_bench_batch.py"
+    grep -q "smoke/iters:500.*ms/step" "$A/measure_r5.log" && mark_done smoke500
+fi
+
 # ---- latte slice: push the north star past iter 100 before the
 # open-ended task loop (VERDICT #4 outranks #5) ----------------------
 latte_iters() {
