@@ -71,6 +71,18 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
     [ "$(task_iters pouring)" -ge 20 ] && mark_done task_pouring
 fi
 
+# ---- fresh forward xplane trace (glue-attack evidence) -------------
+# (the r5_measure pass used MARKER="devices:" which tpu_trace_step
+# never prints, so healthy attempts were init-killed — re-run with the
+# tool's real first output line as the marker)
+if ! stage_done trace && [ "$(left)" -gt 3600 ]; then
+    LOG="$A/measure_r5.log" INIT_T=1500 TOTAL_T="$(capped 2400)" TRIES=2 \
+        STALL_T=0 MARKER="compile\+first|steady:" \
+        "$D/tpu_retry.sh" python -u "$D/tpu_trace_step.py" 65536 substep 0 \
+        /tmp/fl_trace_r5
+    grep -q "trace captured" "$A/measure_r5.log" && mark_done trace
+fi
+
 # ---- smoke @500 Jacobi + grad re-check (VERDICT weak #5) -----------
 # One process; generous stall budget (silent remote compiles run
 # 10-20 min today).  Skipped once the two result lines exist.
