@@ -1,16 +1,10 @@
 #!/bin/bash
-# Round-5 queue, phase 2 — relaunched after the paused measurement
-# window (tools/r5_measure.sh).  Bounded evidence items first (they are
-# judge-visible tables/courses), then the LatteArt chain absorbs ALL
-# remaining time contiguously.
-#
-# Stages (skipped via artifacts/r5/stages.done as in r5_queue.sh):
-#   rollouts   K-sweep re-measure (VERDICT #6)
-#   pouring    20-iter hardware validation of the post-bisect fix
-#              (gated on FL_POURING_FIX being set — see bisect verdicts)
-#   task_*     icecream_static latteart_stir transporting (+ mixing,
-#              gathering_o if time allows) at 1/4 density, full horizon
-#   latte tail LatteArt chain toward 500 until DEADLINE
+# Round-5 queue, phase 2 — runs after the measurement window + bisect2
+# (tools/r5_supervisor.sh).  Rebalanced for today's 10-20 min remote
+# compiles: north star first, then value-ordered bounded stages, tail
+# latte absorbs the rest.  All stages resumable via stages.done /
+# chain-state files; tools/compile_keepalive.sh must be running so the
+# stall watchdogs don't kill healthy compiles.
 #
 # Usage: DEADLINE_TS=<epoch> nohup bash tools/r5_queue2.sh &
 cd /root/repo
@@ -24,20 +18,51 @@ capped() { l=$(( $(left) - 300 )); echo $(( l < $1 ? l : $1 )); }
 stage_done() { grep -q "^$1$" "$A/stages.done" 2>/dev/null; }
 mark_done() { echo "$1" >> "$A/stages.done"; }
 
-# ---- rollouts/s K-sweep (bounded ~40 min) --------------------------
+latte_iters() {
+    python - <<'PY'
+import os, pickle
+p = "/root/repo/artifacts/r4c/latte_chain_state.pkl"
+print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
+PY
+}
+latte_seg() {
+    LOG=/tmp/latte_chain.log INIT_T=420 TOTAL_T="$(capped 3000)" TRIES=6 \
+        STALL_T=900 MARKER="resuming at iteration|target recorded|env:" \
+        FL_CHAIN_SEG=10 \
+        FL_CHAIN_STATE="$A4/latte_chain_state.pkl" \
+        FL_CHAIN_COURSE="$A4/latte_chain_course.log" \
+        FL_CHAIN_TARGET_PKL="$A4/latte_tpu_target.pkl" \
+        "$D/tpu_retry.sh" python -u "$D/tpu_latteart_chain.py"
+}
+LATTE_TARGET="${LATTE_TARGET:-500}"
+
+# ---- 1. latte slice: north star past iter ~100 (VERDICT #4) --------
+L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-5400} ))
+[ "$L_END" -gt $(( DEADLINE_TS - 7200 )) ] && L_END=$(( DEADLINE_TS - 7200 ))
+while [ "$(latte_iters)" -lt "$LATTE_TARGET" ] \
+      && [ "$(date +%s)" -lt "$L_END" ] && [ "$(left)" -gt 1200 ]; do
+    latte_seg || break
+    sleep 5
+done
+echo "LATTE slice ended at $(latte_iters) iters $(date -u)" >> "$A/queue.log"
+
+# ---- 2. rollouts/s sweep, value-ordered, stage-budgeted (VERDICT #6)
 if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
-    for KN in "1 8192" "2 8192" "4 8192" "8 8192" "1 65536" "2 65536"; do
+    R_END=$(( $(date +%s) + ${ROLLOUT_BUDGET_S:-3900} ))
+    for KN in "8 8192" "1 8192" "1 65536" "2 65536" "4 8192" "2 8192"; do
         [ "$(left)" -gt 1200 ] || break
+        [ "$(date +%s)" -lt "$R_END" ] || break
         set -- $KN
         grep "rollouts/s" "$A/rollouts_r5.log" 2>/dev/null \
             | grep -q "K=$1 N=$2 " && continue
-        LOG="$A/rollouts_r5.log" INIT_T=420 TOTAL_T="$(capped 2400)" TRIES=5 \
+        LOG="$A/rollouts_r5.log" INIT_T=420 TOTAL_T="$(capped 2400)" TRIES=3 \
             STALL_T=900 MARKER="transfers:" \
             "$D/tpu_retry.sh" python -u "$D/bench_rollouts.py" "$1" "$2" 20
     done
     NDIST=$(grep "rollouts/s" "$A/rollouts_r5.log" 2>/dev/null \
         | grep -o 'K=[0-9]* N=[0-9]*' | sort -u | wc -l)
-    [ "$NDIST" -ge 6 ] && mark_done rollouts
+    echo "ROLLOUTS $NDIST distinct configs $(date -u)" >> "$A/queue.log"
+    [ "$NDIST" -ge 4 ] && mark_done rollouts
 fi
 
 task_iters() {
@@ -48,19 +73,17 @@ print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
 PY
 }
 
-# ---- pouring validation (only when a fix/workaround is configured) --
-# FL_POURING_FIX: space-separated KEY=VAL env assignments applied to the
-# solve (e.g. "FL_POURING_COLLIDE=particle"), chosen from the bisect.
+# ---- 3. pouring validation (only when a fix is configured) ----------
 if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
         && [ "$(left)" -gt 3600 ]; then
     sleep 120
-    T_END=$(( $(date +%s) + 5400 ))
+    T_END=$(( $(date +%s) + 4800 ))
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
     while [ "$(task_iters pouring)" -lt 20 ] \
           && [ "$(date +%s)" -lt "$T_END" ] && [ "$(left)" -gt 1200 ]; do
         env $FL_POURING_FIX \
             LOG=/tmp/task_pouring.log INIT_T=600 TOTAL_T="$(capped 3600)" \
-            TRIES=6 STALL_T=1200 MARKER="env:" \
+            TRIES=3 STALL_T=1500 MARKER="env:" \
             FL_TASK=pouring FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/pouring_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/pouring_course.log" \
@@ -71,65 +94,17 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
     [ "$(task_iters pouring)" -ge 20 ] && mark_done task_pouring
 fi
 
-# ---- fresh forward xplane trace (glue-attack evidence) -------------
-# (the r5_measure pass used MARKER="devices:" which tpu_trace_step
-# never prints, so healthy attempts were init-killed — re-run with the
-# tool's real first output line as the marker)
-if ! stage_done trace && [ "$(left)" -gt 3600 ]; then
-    LOG="$A/measure_r5.log" INIT_T=1500 TOTAL_T="$(capped 2400)" TRIES=2 \
-        STALL_T=0 MARKER="compile\+first|steady:" \
-        "$D/tpu_retry.sh" python -u "$D/tpu_trace_step.py" 65536 substep 0 \
-        /tmp/fl_trace_r5
-    grep -q "trace captured" "$A/measure_r5.log" && mark_done trace
-fi
-
-# ---- smoke @500 Jacobi + grad re-check (VERDICT weak #5) -----------
-# One process; generous stall budget (silent remote compiles run
-# 10-20 min today).  Skipped once the two result lines exist.
-if ! stage_done smoke500 && [ "$(left)" -gt 3600 ]; then
-    LOG="$A/measure_r5.log" INIT_T=420 TOTAL_T="$(capped 3000)" TRIES=2 \
-        STALL_T=2100 MARKER="devices:" \
-        FL_BATCH=smoke/iters:500,grad/w0 FL_BATCH_SMOKEITERS=500 \
-        "$D/tpu_retry.sh" python -u "$D/tpu_bench_batch.py"
-    grep -q "smoke/iters:500.*ms/step" "$A/measure_r5.log" && mark_done smoke500
-fi
-
-# ---- latte slice: push the north star past iter 100 before the
-# open-ended task loop (VERDICT #4 outranks #5) ----------------------
-latte_iters() {
-    python - <<'PY'
-import os, pickle
-p = "/root/repo/artifacts/r4c/latte_chain_state.pkl"
-print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
-PY
-}
-LATTE_TARGET="${LATTE_TARGET:-500}"
-L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-5400} ))
-[ "$L_END" -gt $(( DEADLINE_TS - 5400 )) ] && L_END=$(( DEADLINE_TS - 5400 ))
-while [ "$(latte_iters)" -lt "$LATTE_TARGET" ] \
-      && [ "$(date +%s)" -lt "$L_END" ] && [ "$(left)" -gt 1200 ]; do
-    LOG=/tmp/latte_chain.log INIT_T=420 TOTAL_T="$(capped 3000)" TRIES=6 \
-        STALL_T=600 MARKER="resuming at iteration|target recorded|env:" \
-        FL_CHAIN_SEG=10 \
-        FL_CHAIN_STATE="$A4/latte_chain_state.pkl" \
-        FL_CHAIN_COURSE="$A4/latte_chain_course.log" \
-        FL_CHAIN_TARGET_PKL="$A4/latte_tpu_target.pkl" \
-        "$D/tpu_retry.sh" python -u "$D/tpu_latteart_chain.py" || break
-    sleep 5
-done
-echo "LATTE slice ended at $(latte_iters) iters" >> "$A/queue.log"
-
-# ---- task solves ----------------------------------------------------
+# ---- 4. task solves, as many as fit --------------------------------
 for TASK in icecream_static latteart_stir transporting mixing gatheringO; do
     if stage_done "task_$TASK"; then continue; fi
-    [ "$(left)" -gt 4500 ] || break
+    [ "$(left)" -gt 4200 ] || break
     sleep 120
-    T_END=$(( $(date +%s) + 5400 ))
+    T_END=$(( $(date +%s) + 4800 ))
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
     while [ "$(task_iters $TASK)" -lt 20 ] && [ "$(date +%s)" -lt "$T_END" ] \
           && [ "$(left)" -gt 1200 ]; do
-        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T="$(capped 3600)" TRIES=6 \
-            STALL_T=1200 MARKER="env:" \
+        LOG=/tmp/task_${TASK}.log INIT_T=600 TOTAL_T="$(capped 3600)" TRIES=3 \
+            STALL_T=1500 MARKER="env:" \
             FL_TASK=$TASK FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
             FL_CHAIN_STATE="$A/${TASK}_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/${TASK}_course.log" \
@@ -140,15 +115,18 @@ for TASK in icecream_static latteart_stir transporting mixing gatheringO; do
     [ "$(task_iters $TASK)" -ge 20 ] && mark_done "task_$TASK"
 done
 
-# ---- tail: latte chain absorbs everything left ----------------------
+# ---- 5. fresh fwd xplane trace (optional, diagnostic) --------------
+if ! stage_done trace && [ "$(left)" -gt 3000 ]; then
+    LOG="$A/measure_r5.log" INIT_T=1500 TOTAL_T="$(capped 2400)" TRIES=2 \
+        STALL_T=0 MARKER="compile\+first|steady:" \
+        "$D/tpu_retry.sh" python -u "$D/tpu_trace_step.py" 65536 substep 0 \
+        /tmp/fl_trace_r5
+    grep -q "trace captured" "$A/measure_r5.log" && mark_done trace
+fi
+
+# ---- 6. tail: latte absorbs everything left ------------------------
 while [ "$(left)" -gt 900 ] && [ "$(latte_iters)" -lt "$LATTE_TARGET" ]; do
-    LOG=/tmp/latte_chain.log INIT_T=420 TOTAL_T="$(capped 3000)" TRIES=6 \
-        STALL_T=600 MARKER="resuming at iteration|target recorded|env:" \
-        FL_CHAIN_SEG=10 \
-        FL_CHAIN_STATE="$A4/latte_chain_state.pkl" \
-        FL_CHAIN_COURSE="$A4/latte_chain_course.log" \
-        FL_CHAIN_TARGET_PKL="$A4/latte_tpu_target.pkl" \
-        "$D/tpu_retry.sh" python -u "$D/tpu_latteart_chain.py" || break
+    latte_seg || break
     sleep 5
 done
 echo "LATTE at $(latte_iters) iters" >> "$A/queue.log"
