@@ -36,6 +36,29 @@ latte_seg() {
 }
 LATTE_TARGET="${LATTE_TARGET:-500}"
 
+# ---- 0. level-2 bisect: split-phase gates (root-cause refinement) --
+# grid FAULTED / none SURVIVED in level 1 => the dynamic-collide-in-
+# gridop adjoint under the MERGED phase is implicated.  grid_split/
+# both_split decide whether the split grid phase (identical math,
+# different autodiff schedule) dodges it — and hand queue stage 3 a
+# semantically exact workaround if so.
+if ! stage_done bisect2 && [ "$(left)" -gt 4800 ]; then
+    BISECT_GATES="grid_split both_split" \
+        BISECT_DEADLINE_TS=$(( $(date +%s) + 3600 )) \
+        BISECT_INIT_T=420 BISECT_TOTAL_T=2400 BISECT_TRIES=2 \
+        BISECT_STALL_T=1800 \
+        bash "$D/r5_pouring_bisect2.sh"
+    N2=$(grep -cE '^GATE (grid_split|both_split) (SURVIVED|FAULTED)' \
+        "$A/pouring_bisect.log" 2>/dev/null)
+    [ "${N2:-0}" -ge 2 ] && mark_done bisect2
+fi
+# auto-configure the pouring workaround from the verdicts
+if [ -z "$FL_POURING_FIX" ] \
+        && grep -q "^GATE both_split SURVIVED" "$A/pouring_bisect.log" 2>/dev/null; then
+    FL_POURING_FIX="FL_GRIDPHASE=split"
+    echo "POURING FIX auto: $FL_POURING_FIX" >> "$A/queue.log"
+fi
+
 # ---- 1. latte slice: north star past iter ~100 (VERDICT #4) --------
 L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-5400} ))
 [ "$L_END" -gt $(( DEADLINE_TS - 7200 )) ] && L_END=$(( DEADLINE_TS - 7200 ))

@@ -36,6 +36,32 @@ os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
 # change the substep budget the fault-repro claim depends on (the 'env:'
 # line below echoes the effective H as ground truth)
 os.environ["FL_TASK_H"] = os.environ.get("FL_BISECT_H", "150")
+
+# Gate selection BEFORE any engine import: level-2 gates set build-time
+# env knobs (FL_GRIDPHASE is read when the grid phase is built).
+GATE = os.environ.get("FL_BISECT_GATE", "both")
+GATES = {
+    "both": dict(collide_type="both", collector=True, grad=True),
+    "grid": dict(collide_type="grid", collector=True, grad=True),
+    "particle": dict(collide_type="particle", collector=True, grad=True),
+    "none": dict(collide_type=None, collector=True, grad=True),
+    "nocollect": dict(collide_type="both", collector=False, grad=True),
+    "fwdonly": dict(collide_type="both", collector=True, grad=False),
+    # level 2 (r5): same collide gates under the SPLIT grid phase —
+    # identical math/kernels, separate custom VJPs per transfer, gridop
+    # adjoint built by whole-graph XLA AD instead of the merged phase's
+    # jax.vjp composition.  If these survive while merged faults, the
+    # trigger is the merged-phase adjoint composition and split is a
+    # semantically exact workaround.
+    "grid_split": dict(collide_type="grid", collector=True, grad=True,
+                       env={"FL_GRIDPHASE": "split"}),
+    "both_split": dict(collide_type="both", collector=True, grad=True,
+                       env={"FL_GRIDPHASE": "split"}),
+}
+spec = GATES[GATE]
+for _k, _v in spec.get("env", {}).items():
+    os.environ[_k] = _v
+
 import jax
 
 if os.environ.get("BENCH_PLATFORM"):
@@ -47,17 +73,6 @@ import numpy as np
 from fluidlab_tpu.engine import sim as sim_mod
 from fluidlab_tpu.optimizer.solver import Solver
 from _task_spec import make_spec_cls, resolve_task
-
-GATE = os.environ.get("FL_BISECT_GATE", "both")
-GATES = {
-    "both": dict(collide_type="both", collector=True, grad=True),
-    "grid": dict(collide_type="grid", collector=True, grad=True),
-    "particle": dict(collide_type="particle", collector=True, grad=True),
-    "none": dict(collide_type=None, collector=True, grad=True),
-    "nocollect": dict(collide_type="both", collector=False, grad=True),
-    "fwdonly": dict(collide_type="both", collector=True, grad=False),
-}
-spec = GATES[GATE]
 
 # Gate 1/2: the agent-coupling collide mode (sim.setup_agent reads
 # _AGENT_TYPE_DEFAULTS at build time — patch before env construction).
