@@ -59,6 +59,35 @@ if [ -z "$FL_POURING_FIX" ] \
     echo "POURING FIX auto: $FL_POURING_FIX" >> "$A/queue.log"
 fi
 
+task_iters() {
+    python - <<PY
+import os, pickle
+p = "/root/repo/artifacts/r5/${1}_chain_state.pkl"
+print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
+PY
+}
+
+# ---- 3. pouring validation (only when a fix is configured) ----------
+if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
+        && [ "$(left)" -gt 3600 ]; then
+    sleep 120
+    T_END=$(( $(date +%s) + 4800 ))
+    [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
+    while [ "$(task_iters pouring)" -lt 20 ] \
+          && [ "$(date +%s)" -lt "$T_END" ] && [ "$(left)" -gt 1200 ]; do
+        env $FL_POURING_FIX \
+            LOG=/tmp/task_pouring.log INIT_T=600 TOTAL_T="$(capped 3600)" \
+            TRIES=3 STALL_T=1500 MARKER="env:" \
+            FL_TASK=pouring FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
+            FL_CHAIN_STATE="$A/pouring_chain_state.pkl" \
+            FL_CHAIN_COURSE="$A/pouring_course.log" \
+            FL_SOLVE_POLICY_OUT="$A/pouring_solve_r5_policy.pkl" \
+            "$D/tpu_retry.sh" python -u "$D/tpu_task_solve.py" || break
+    done
+    echo "TASK pouring at $(task_iters pouring) iters" >> "$A/queue.log"
+    [ "$(task_iters pouring)" -ge 20 ] && mark_done task_pouring
+fi
+
 # ---- 1. latte slice: north star past iter ~100 (VERDICT #4) --------
 L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-5400} ))
 [ "$L_END" -gt $(( DEADLINE_TS - 7200 )) ] && L_END=$(( DEADLINE_TS - 7200 ))
@@ -88,34 +117,6 @@ if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
     [ "$NDIST" -ge 4 ] && mark_done rollouts
 fi
 
-task_iters() {
-    python - <<PY
-import os, pickle
-p = "/root/repo/artifacts/r5/${1}_chain_state.pkl"
-print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
-PY
-}
-
-# ---- 3. pouring validation (only when a fix is configured) ----------
-if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
-        && [ "$(left)" -gt 3600 ]; then
-    sleep 120
-    T_END=$(( $(date +%s) + 4800 ))
-    [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
-    while [ "$(task_iters pouring)" -lt 20 ] \
-          && [ "$(date +%s)" -lt "$T_END" ] && [ "$(left)" -gt 1200 ]; do
-        env $FL_POURING_FIX \
-            LOG=/tmp/task_pouring.log INIT_T=600 TOTAL_T="$(capped 3600)" \
-            TRIES=3 STALL_T=1500 MARKER="env:" \
-            FL_TASK=pouring FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
-            FL_CHAIN_STATE="$A/pouring_chain_state.pkl" \
-            FL_CHAIN_COURSE="$A/pouring_course.log" \
-            FL_SOLVE_POLICY_OUT="$A/pouring_solve_r5_policy.pkl" \
-            "$D/tpu_retry.sh" python -u "$D/tpu_task_solve.py" || break
-    done
-    echo "TASK pouring at $(task_iters pouring) iters" >> "$A/queue.log"
-    [ "$(task_iters pouring)" -ge 20 ] && mark_done task_pouring
-fi
 
 # ---- 4. task solves, as many as fit --------------------------------
 for TASK in icecream_static latteart_stir transporting mixing gatheringO; do
