@@ -43,14 +43,14 @@ LATTE_TARGET="${LATTE_TARGET:-500}"
 # different autodiff schedule) dodges it — and hand queue stage 3 a
 # semantically exact workaround if so.
 if ! stage_done bisect2 && [ "$(left)" -gt 4800 ]; then
-    BISECT_GATES="grid_split both_split" \
+    BISECT_GATES="both_split" \
         BISECT_DEADLINE_TS=$(( $(date +%s) + 3600 )) \
         BISECT_INIT_T=420 BISECT_TOTAL_T=2400 BISECT_TRIES=2 \
         BISECT_STALL_T=1800 \
         bash "$D/r5_pouring_bisect2.sh"
-    N2=$(grep -cE '^GATE (grid_split|both_split) (SURVIVED|FAULTED)' \
+    N2=$(grep -cE '^GATE both_split (SURVIVED|FAULTED)' \
         "$A/pouring_bisect.log" 2>/dev/null)
-    [ "${N2:-0}" -ge 2 ] && mark_done bisect2
+    [ "${N2:-0}" -ge 1 ] && mark_done bisect2
 fi
 # auto-configure the pouring workaround from the verdicts
 if [ -z "$FL_POURING_FIX" ] \
@@ -78,7 +78,7 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
         env $FL_POURING_FIX \
             LOG=/tmp/task_pouring.log INIT_T=600 TOTAL_T="$(capped 3600)" \
             TRIES=3 STALL_T=1500 MARKER="env:" \
-            FL_TASK=pouring FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=5 \
+            FL_TASK=pouring FL_TASK_FRAC=0.25 FL_SOLVE_ITERS=10 \
             FL_CHAIN_STATE="$A/pouring_chain_state.pkl" \
             FL_CHAIN_COURSE="$A/pouring_course.log" \
             FL_SOLVE_POLICY_OUT="$A/pouring_solve_r5_policy.pkl" \
@@ -89,8 +89,8 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
 fi
 
 # ---- 1. latte slice: north star past iter ~100 (VERDICT #4) --------
-L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-5400} ))
-[ "$L_END" -gt $(( DEADLINE_TS - 7200 )) ] && L_END=$(( DEADLINE_TS - 7200 ))
+L_END=$(( $(date +%s) + ${LATTE_SLICE_S:-4500} ))
+[ "$L_END" -gt $(( DEADLINE_TS - 6600 )) ] && L_END=$(( DEADLINE_TS - 6600 ))
 while [ "$(latte_iters)" -lt "$LATTE_TARGET" ] \
       && [ "$(date +%s)" -lt "$L_END" ] && [ "$(left)" -gt 1200 ]; do
     latte_seg || break
@@ -100,7 +100,7 @@ echo "LATTE slice ended at $(latte_iters) iters $(date -u)" >> "$A/queue.log"
 
 # ---- 2. rollouts/s sweep, value-ordered, stage-budgeted (VERDICT #6)
 if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
-    R_END=$(( $(date +%s) + ${ROLLOUT_BUDGET_S:-3900} ))
+    R_END=$(( $(date +%s) + ${ROLLOUT_BUDGET_S:-1800} ))
     for KN in "8 8192" "1 8192" "1 65536" "2 65536" "4 8192" "2 8192"; do
         [ "$(left)" -gt 1200 ] || break
         [ "$(date +%s)" -lt "$R_END" ] || break
@@ -114,14 +114,14 @@ if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
     NDIST=$(grep "rollouts/s" "$A/rollouts_r5.log" 2>/dev/null \
         | grep -o 'K=[0-9]* N=[0-9]*' | sort -u | wc -l)
     echo "ROLLOUTS $NDIST distinct configs $(date -u)" >> "$A/queue.log"
-    [ "$NDIST" -ge 4 ] && mark_done rollouts
+    [ "$NDIST" -ge 2 ] && mark_done rollouts
 fi
 
 
 # ---- 4. task solves, as many as fit --------------------------------
 for TASK in icecream_static latteart_stir transporting mixing gatheringO; do
     if stage_done "task_$TASK"; then continue; fi
-    [ "$(left)" -gt 4200 ] || break
+    [ "$(left)" -gt 3900 ] || break
     sleep 120
     T_END=$(( $(date +%s) + 4800 ))
     [ "$T_END" -gt $(( DEADLINE_TS - 600 )) ] && T_END=$(( DEADLINE_TS - 600 ))
