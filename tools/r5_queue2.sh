@@ -148,10 +148,19 @@ if ! stage_done trace && [ "$(left)" -gt 3000 ]; then
     grep -q "trace captured" "$A/measure_r5.log" && mark_done trace
 fi
 
-# ---- 6. tail: latte absorbs everything left ------------------------
-while [ "$(left)" -gt 900 ] && [ "$(latte_iters)" -lt "$LATTE_TARGET" ]; do
+# ---- 6. tail: latte absorbs everything left (reserve a render slot)
+while [ "$(left)" -gt 1800 ] && [ "$(latte_iters)" -lt "$LATTE_TARGET" ]; do
     latte_seg || break
     sleep 5
 done
 echo "LATTE at $(latte_iters) iters" >> "$A/queue.log"
+
+# ---- 7. render the final pour from the chained policy --------------
+if [ "$(left)" -gt 600 ]; then
+    LOG="$A/latte_render.log" INIT_T=420 TOTAL_T="$(capped 1500)" TRIES=2 \
+        STALL_T=0 MARKER="." \
+        FL_CHAIN_STATE="$A4/latte_chain_state.pkl" \
+        FL_RENDER_OUT="$A/latteart_chain_final_r5.png" \
+        "$D/tpu_retry.sh" python -u "$D/tpu_latteart_render.py"
+fi
 echo "R5 QUEUE2 DONE $(date -u)" >> "$A/queue.log"
