@@ -20,6 +20,7 @@ TPU-first deviations from the reference:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -38,6 +39,13 @@ class ColliderParams:
     sdf: jnp.ndarray  # (V, V, V)
     grad: jnp.ndarray  # (3, V, V, V) voxel-space gradient of sdf
     T_mesh_to_voxels: jnp.ndarray  # (4, 4)
+    # host-precomputed inv(T_mesh_to_voxels[:3,:3]) — a per-collider
+    # CONSTANT.  With FL_COLLIDE_INV=host, dynamic_collide uses this and
+    # the on-device jnp.linalg.inv (a TPU linalg custom-call inside the
+    # differentiated grid_op — a pouring-fault candidate, RESULTS r5) is
+    # eliminated.  None keeps the legacy on-device inverse so existing
+    # compiled programs stay valid mid-round.
+    R_vox_to_mesh: jnp.ndarray = None
 
 
 def sdf_trilerp_soa(values, pos_vox, outside_value: float = 1.0):
@@ -155,7 +163,11 @@ def dynamic_collide(
         v_new = collider_v
     else:
         g_vox = sdf_trilerp_soa(collider.grad, pos_vox, outside_value=0.0)
-        Rvm = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
+        if (os.environ.get("FL_COLLIDE_INV") == "host"
+                and collider.R_vox_to_mesh is not None):
+            Rvm = collider.R_vox_to_mesh
+        else:
+            Rvm = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
         g_mesh = jnp.stack([
             Rvm[i, 0] * g_vox[0] + Rvm[i, 1] * g_vox[1] + Rvm[i, 2] * g_vox[2]
             for i in range(3)

@@ -213,6 +213,9 @@ class FluidSim:
                         voxel_gradient(data["voxels"]).astype(np.float32)
                     ),
                     T_mesh_to_voxels=jnp.asarray(T.astype(np.float32)),
+                    R_vox_to_mesh=jnp.asarray(
+                        np.linalg.inv(T[:3, :3]).astype(np.float32)
+                    ),
                 )
                 # visual record: verts drawn at the effector's live
                 # pose are T_init @ v_normalized rotated/translated by
