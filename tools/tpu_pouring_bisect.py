@@ -57,6 +57,20 @@ GATES = {
                        env={"FL_GRIDPHASE": "split"}),
     "both_split": dict(collide_type="both", collector=True, grad=True,
                        env={"FL_GRIDPHASE": "split"}),
+    # level 3 (r5): both_split FAULTED -> the grid-site collide adjoint
+    # faults under either phase schedule.  Sub-op isolation:
+    #   both_hostinv  removes the on-device linalg.inv custom-call
+    #                 (host-precomputed R_vox_to_mesh) — exact semantics;
+    #                 SURVIVES => the custom-call was the faulter and
+    #                 FL_COLLIDE_INV=host is the fix.
+    #   both_sticky   forces the sticky branch (friction>10): no
+    #                 trilerp-grad, no inv, no friction projection —
+    #                 isolates the non-sticky collide tail (semantics
+    #                 deviation, diagnosis only).
+    "both_hostinv": dict(collide_type="both", collector=True, grad=True,
+                         env={"FL_COLLIDE_INV": "host"}),
+    "both_sticky": dict(collide_type="both", collector=True, grad=True,
+                        friction_sticky=True),
 }
 spec = GATES[GATE]
 for _k, _v in spec.get("env", {}).items():
@@ -79,6 +93,11 @@ from _task_spec import make_spec_cls, resolve_task
 sim_mod._AGENT_TYPE_DEFAULTS["AgentPouring"] = dict(
     collide_type=spec["collide_type"]
 )
+
+if spec.get("friction_sticky"):
+    from fluidlab_tpu.config import materials as M2
+
+    M2.FRICTION[M2.BOTTLE] = 20.0  # sticky-contact branch (diagnosis)
 
 cfg, env_id, base_cls = resolve_task("pouring")
 Base = make_spec_cls(base_cls, renderer=False)
