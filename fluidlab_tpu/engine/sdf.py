@@ -20,6 +20,7 @@ TPU-first deviations from the reference:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Tuple
 
@@ -144,7 +145,41 @@ def dynamic_collide(
     eff_quat_next,
     dt: float,
 ):
-    """Soft-coupled moving-SDF collision (reference dynamic.py:93-121)."""
+    """Soft-coupled moving-SDF collision (reference dynamic.py:93-121).
+
+    FL_COLLIDE_REMAT=1 wraps the whole computation in ``jax.checkpoint``
+    — identical math, but the adjoint recomputes the forward inside a
+    remat boundary, which changes XLA's fusion/scheduling.  Candidate
+    route-around for the pouring grid-collide worker fault (RESULTS r5
+    dossier: the fault follows the grid-site collide ADJOINT program,
+    not any specific sub-op isolated so far)."""
+    if os.environ.get("FL_COLLIDE_REMAT") == "1":
+        import jax
+
+        inner = functools.partial(_dynamic_collide_impl, collider,
+                                  friction, softness)
+        return jax.checkpoint(inner)(
+            pos_world, mat_v, eff_pos, eff_quat, eff_pos_next,
+            eff_quat_next, dt,
+        )
+    return _dynamic_collide_impl(
+        collider, friction, softness, pos_world, mat_v, eff_pos,
+        eff_quat, eff_pos_next, eff_quat_next, dt,
+    )
+
+
+def _dynamic_collide_impl(
+    collider: ColliderParams,
+    friction: float,
+    softness: float,
+    pos_world,  # (3, M)
+    mat_v,  # (3, M)
+    eff_pos,
+    eff_quat,
+    eff_pos_next,
+    eff_quat_next,
+    dt: float,
+):
     pos_mesh = quat_ops.inv_transform_by_trans_quat_soa(
         pos_world, eff_pos, eff_quat
     )

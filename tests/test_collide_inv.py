@@ -72,3 +72,44 @@ def test_host_inverse_matches_device(friction):
     for a, b in zip(g_d, g_h):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("friction", [0.3, 20.0])
+def test_remat_matches_plain(friction):
+    col, pos, vel, ep, eq, epn, eqn = _make_case(seed=1)
+
+    def run(remat):
+        prev = os.environ.get("FL_COLLIDE_REMAT")
+        if remat:
+            os.environ["FL_COLLIDE_REMAT"] = "1"
+        else:
+            os.environ.pop("FL_COLLIDE_REMAT", None)
+
+        def f(vel, ep, eq):
+            out = dynamic_collide(col, friction, 5.0, pos, vel, ep, eq,
+                                  epn, eqn, 1e-3)
+            return jnp.sum(out ** 2)
+
+        try:
+            loss, grads = jax.jit(
+                lambda v, p, q: jax.value_and_grad(f, argnums=(0, 1, 2))(
+                    v, p, q)
+            )(vel, ep, eq)
+        finally:
+            if prev is None:
+                os.environ.pop("FL_COLLIDE_REMAT", None)
+            else:
+                os.environ["FL_COLLIDE_REMAT"] = prev
+        return loss, grads
+
+    loss_p, g_p = run(False)
+    loss_r, g_r = run(True)
+    np.testing.assert_allclose(float(loss_p), float(loss_r), rtol=1e-6)
+    for a, b in zip(g_p, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        # relative-to-scale tolerance: the two programs may come from
+        # different compilations (persistent-cache AOT vs fresh) whose
+        # f32 contraction orders differ slightly; a wrong adjoint would
+        # be off at O(scale), not 1e-5 of it (standalone runs diff 0.0)
+        tol = 1e-4 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=tol)

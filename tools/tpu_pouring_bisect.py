@@ -71,6 +71,11 @@ GATES = {
                          env={"FL_COLLIDE_INV": "host"}),
     "both_sticky": dict(collide_type="both", collector=True, grad=True,
                         friction_sticky=True),
+    #   both_remat    jax.checkpoint around dynamic_collide — identical
+    #                 math, different fusion/scheduling of the adjoint
+    #                 (exact-semantics route-around candidate).
+    "both_remat": dict(collide_type="both", collector=True, grad=True,
+                       env={"FL_COLLIDE_REMAT": "1"}),
 }
 spec = GATES[GATE]
 for _k, _v in spec.get("env", {}).items():
