@@ -71,6 +71,24 @@ def normalize(v, eps=EPS):
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 
+def quat_rot_matrix(q):
+    """Rotation matrix with the SAME polynomial (and therefore the same
+    off-unit-sphere extension and gradients) as ``transform_by_quat``:
+    R = I + 2 w [u]x + 2 [u]x^2, u = q[1:4].  ``quat_to_R`` is the
+    textbook unit-quaternion polynomial whose radial derivative differs;
+    use THIS one when replacing per-vector quat transforms with a
+    matrix so autodiff stays bit-equivalent (engine/sdf.py matrix-form
+    collide)."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    zero = jnp.zeros_like(w)
+    K = jnp.stack([
+        jnp.stack([zero, -z, y]),
+        jnp.stack([z, zero, -x]),
+        jnp.stack([-y, x, zero]),
+    ])
+    return jnp.eye(3, dtype=q.dtype) + 2.0 * w * K + 2.0 * (K @ K)
+
+
 def quat_to_R(q):
     """Quaternion (wxyz) -> 3x3 rotation matrix."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

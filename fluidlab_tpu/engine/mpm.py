@@ -566,6 +566,20 @@ def make_substep(cfg: SimCfg, psum_axis=None):
                     cfg, params_, cpos.reshape(3, -1), vo.reshape(3, -1),
                     effs_, effs_next_,
                 ).reshape(shp)
+            if agent is not None and _os.environ.get("FL_COLLIDE_DUMMY") == "1":
+                # Diagnostic (pouring-fault dossier, RESULTS r5): an
+                # epsilon-weighted effector-pose-dependent term with NO
+                # collide math.  Discriminates "any differentiable
+                # eff-dependence in the region gridop faults" (residual
+                # layout/aliasing class) from "collide-specific".
+                from fluidlab_tpu.core import quat as _quat_ops
+
+                shp = vo.shape
+                cpf = cpos.reshape(3, -1)
+                rot = _quat_ops.transform_by_quat_soa(cpf, effs_[0].quat)
+                vo = (vo.reshape(3, -1) + 1e-30 * (
+                    rot + effs_[0].pos[:, None]
+                )).reshape(shp)
             _, vo = cfg.boundary.impose_x_v(cpos, vo)
             vo = vo * act_g[None].astype(vo.dtype)
             return jnp.stack([vo[d] for d in range(3)], axis=1)

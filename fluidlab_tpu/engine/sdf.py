@@ -153,19 +153,82 @@ def dynamic_collide(
     route-around for the pouring grid-collide worker fault (RESULTS r5
     dossier: the fault follows the grid-site collide ADJOINT program,
     not any specific sub-op isolated so far)."""
+    impl = (_dynamic_collide_matrix
+            if os.environ.get("FL_COLLIDE_IMPL") == "matrix"
+            else _dynamic_collide_impl)
     if os.environ.get("FL_COLLIDE_REMAT") == "1":
         import jax
 
-        inner = functools.partial(_dynamic_collide_impl, collider,
-                                  friction, softness)
+        inner = functools.partial(impl, collider, friction, softness)
         return jax.checkpoint(inner)(
             pos_world, mat_v, eff_pos, eff_quat, eff_pos_next,
             eff_quat_next, dt,
         )
-    return _dynamic_collide_impl(
+    return impl(
         collider, friction, softness, pos_world, mat_v, eff_pos,
         eff_quat, eff_pos_next, eff_quat_next, dt,
     )
+
+
+def _dynamic_collide_matrix(
+    collider: ColliderParams,
+    friction: float,
+    softness: float,
+    pos_world,  # (3, M)
+    mat_v,  # (3, M)
+    eff_pos,
+    eff_quat,
+    eff_pos_next,
+    eff_quat_next,
+    dt: float,
+):
+    """Matrix-form dynamic collide (FL_COLLIDE_IMPL=matrix).
+
+    Identical math to ``_dynamic_collide_impl`` with the quaternions
+    converted to rotation matrices ONCE (quat_to_R is differentiable,
+    O(1)); every per-cell operation is then plain 3x3 matrix algebra
+    whose adjoint reduces through (3, M) matmuls instead of per-cell
+    quaternion chains.  Written for the pouring-fault dossier (RESULTS
+    r5): the grid-site collide adjoint faults the TPU worker down to
+    the sticky branch, whose differentiable surface is exactly the
+    per-cell quat chain + select + pose-cotangent reduction that this
+    form restructures.  Also strictly less per-cell work.
+    """
+    # quat_rot_matrix + inv_quat reproduce transform_by_quat_soa /
+    # inv_transform_by_trans_quat_soa EXACTLY (same polynomial, same
+    # gradients) — see core/quat.py
+    R0inv = quat_ops.quat_rot_matrix(quat_ops.inv_quat(eff_quat))
+    R1 = quat_ops.quat_rot_matrix(eff_quat_next)
+    pos_mesh = R0inv @ (pos_world - eff_pos[:, None])  # (3, M)
+    pos_vox = _world_to_voxels(pos_mesh, collider.T_mesh_to_voxels)
+
+    signed_dist = sdf_trilerp_soa(collider.sdf, pos_vox, outside_value=1.0)
+    influence = jnp.minimum(jnp.exp(-signed_dist * softness), 1.0)
+    active = (signed_dist <= 0.0) | ((softness > 0.0) & (influence > 0.1))
+
+    pos_world_new = R1 @ pos_mesh + eff_pos_next[:, None]
+    collider_v = (pos_world_new - pos_world) / dt
+
+    if friction > 10.0:  # sticky contact (reference dynamic.py:101-102)
+        v_new = collider_v
+    else:
+        g_vox = sdf_trilerp_soa(collider.grad, pos_vox, outside_value=0.0)
+        if (os.environ.get("FL_COLLIDE_INV") == "host"
+                and collider.R_vox_to_mesh is not None):
+            Rvm = collider.R_vox_to_mesh
+        else:
+            Rvm = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
+        R0 = quat_ops.quat_rot_matrix(eff_quat)
+        g_world = (R0 @ Rvm) @ g_vox  # (3, M)
+        norm = jnp.sqrt(sum(g_world[i] ** 2 for i in range(3)) + EPS)
+        normal = g_world / norm
+        rel_v = mat_v - collider_v
+        rel_t = _friction_project_soa(rel_v, normal, friction)
+        v_new = collider_v + rel_t * influence + rel_v * (1.0 - influence)
+
+    return jnp.stack([
+        jnp.where(active, v_new[i], mat_v[i]) for i in range(3)
+    ])
 
 
 def _dynamic_collide_impl(

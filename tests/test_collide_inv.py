@@ -75,6 +75,46 @@ def test_host_inverse_matches_device(friction):
 
 
 @pytest.mark.parametrize("friction", [0.3, 20.0])
+def test_matrix_impl_matches_plain(friction):
+    col, pos, vel, ep, eq, epn, eqn = _make_case(seed=2)
+
+    def run(impl):
+        prev = os.environ.get("FL_COLLIDE_IMPL")
+        if impl:
+            os.environ["FL_COLLIDE_IMPL"] = impl
+        else:
+            os.environ.pop("FL_COLLIDE_IMPL", None)
+
+        def f(vel, ep, eq, epn, eqn):
+            out = dynamic_collide(col, friction, 5.0, pos, vel, ep, eq,
+                                  epn, eqn, 1e-3)
+            return jnp.sum(out ** 2), out
+
+        try:
+            (loss, out), grads = jax.jit(
+                lambda v, p, q, pn, qn: jax.value_and_grad(
+                    f, argnums=(0, 1, 2, 3, 4), has_aux=True
+                )(v, p, q, pn, qn)
+            )(vel, ep, eq, epn, eqn)
+        finally:
+            if prev is None:
+                os.environ.pop("FL_COLLIDE_IMPL", None)
+            else:
+                os.environ["FL_COLLIDE_IMPL"] = prev
+        return out, loss, grads
+
+    out_p, loss_p, g_p = run(None)
+    out_m, loss_m, g_m = run("matrix")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(loss_p), float(loss_m), rtol=1e-5)
+    for a, b in zip(g_p, g_m):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-4 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=tol)
+
+
+@pytest.mark.parametrize("friction", [0.3, 20.0])
 def test_remat_matches_plain(friction):
     col, pos, vel, ep, eq, epn, eqn = _make_case(seed=1)
 

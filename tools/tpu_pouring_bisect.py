@@ -76,6 +76,19 @@ GATES = {
     #                 (exact-semantics route-around candidate).
     "both_remat": dict(collide_type="both", collector=True, grad=True,
                        env={"FL_COLLIDE_REMAT": "1"}),
+    #   grid_dummy    NO collide at all, but an epsilon-weighted
+    #                 effector-pose-dependent term in the region gridop
+    #                 (engine FL_COLLIDE_DUMMY) — discriminates "any
+    #                 differentiable eff-dependence in the gridop
+    #                 faults" from "collide-specific".
+    "grid_dummy": dict(collide_type=None, collector=True, grad=True,
+                       env={"FL_COLLIDE_DUMMY": "1"}),
+    #   both_matrix   matrix-form collide (FL_COLLIDE_IMPL=matrix):
+    #                 quats -> rotation matrices once, per-cell work is
+    #                 3x3 algebra, pose cotangents reduce via matmuls —
+    #                 the restructuring candidate FIX (exact semantics).
+    "both_matrix": dict(collide_type="both", collector=True, grad=True,
+                        env={"FL_COLLIDE_IMPL": "matrix"}),
 }
 spec = GATES[GATE]
 for _k, _v in spec.get("env", {}).items():
