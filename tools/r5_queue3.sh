@@ -44,6 +44,24 @@ print(pickle.load(open(p, "rb"))["iteration"] if os.path.exists(p) else 0)
 PY
 }
 
+# ---- 2b. matrix-form collide gate: the structural fix candidate ----
+# (runs only when the remat gate did not already hand us a fix)
+if [ -z "$FL_POURING_FIX" ] && ! stage_done gate_matrix \
+        && [ "$(left)" -gt 4800 ]; then
+    sleep 120
+    BISECT_GATES="both_matrix" \
+        BISECT_DEADLINE_TS=$(( $(date +%s) + 2700 )) \
+        BISECT_INIT_T=420 BISECT_TOTAL_T=2400 BISECT_TRIES=2 \
+        BISECT_STALL_T=1800 \
+        bash "$D/r5_pouring_bisect2.sh"
+    grep -qE '^GATE both_matrix (SURVIVED|FAULTED)' "$A/pouring_bisect.log" \
+        && mark_done gate_matrix
+    if grep -q "^GATE both_matrix SURVIVED" "$A/pouring_bisect.log"; then
+        FL_POURING_FIX="FL_COLLIDE_IMPL=matrix"
+        echo "POURING FIX: $FL_POURING_FIX" >> "$A/queue.log"
+    fi
+fi
+
 # ---- 3. pouring validation (only when a fix is configured) ----------
 if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
         && [ "$(left)" -gt 3600 ]; then
