@@ -148,4 +148,4 @@ if [ "$(left)" -gt 600 ]; then
         FL_RENDER_OUT="$A/latteart_chain_final_r5.png" \
         "$D/tpu_retry.sh" python -u "$D/tpu_latteart_render.py"
 fi
-echo "R5 QUEUE2 DONE $(date -u)" >> "$A/queue.log"
+echo "R5 QUEUE3 DONE $(date -u)" >> "$A/queue.log"

@@ -12,10 +12,14 @@ A=/root/repo/artifacts/r5
 SUP_PID="${SUP_PID:?}"
 DEADLINE_TS="${DEADLINE_TS:?}"
 
-BASE=$(grep -c "LATTE slice ended" "$A/queue.log" 2>/dev/null || echo 0)
+# NB: `grep -c` prints 0 AND exits 1 on zero matches — never `|| echo 0`
+# after it (the fallback would append a second line and break -gt).
+BASE=$(grep -c "LATTE slice ended" "$A/queue.log" 2>/dev/null)
+BASE=${BASE:-0}
 while kill -0 "$SUP_PID" 2>/dev/null; do
-    n=$(grep -c "LATTE slice ended" "$A/queue.log" 2>/dev/null || echo 0)
-    [ "${n:-0}" -gt "${BASE:-0}" ] && break
+    n=$(grep -c "LATTE slice ended" "$A/queue.log" 2>/dev/null)
+    n=${n:-0}
+    [ "$n" -gt "$BASE" ] && break
     sleep 15
 done
 
