@@ -84,7 +84,7 @@ if [ -n "$FL_POURING_FIX" ] && ! stage_done task_pouring \
 fi
 
 # ---- 2. rollouts/s sweep, value-ordered, stage-budgeted (VERDICT #6)
-if ! stage_done rollouts && [ "$(left)" -gt 2400 ]; then
+if ! stage_done rollouts && [ "$(left)" -gt 1500 ]; then
     R_END=$(( $(date +%s) + ${ROLLOUT_BUDGET_S:-1800} ))
     for KN in "8 8192" "1 8192" "1 65536" "2 65536" "4 8192" "2 8192"; do
         [ "$(left)" -gt 1200 ] || break
