@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/tmp/fluidlab_tpu_jax_cache", exist_ok=True)
 import jax
 
+if os.environ.get("BENCH_PLATFORM"):
+    # CPU replay path: slower (~minutes at full spec) but needs no chip
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/fluidlab_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
