@@ -546,7 +546,11 @@ def make_substep(cfg: SimCfg, psum_axis=None):
         # fused grid phase (make_grid_phase) can take its VJP with
         # jax.vjp inside the merged backward.
         def _gridop_regions(greg, vop):
-            params_, effs_, effs_next_, statics_regions_ = vop
+            aux_ = None
+            if len(vop) == 5:
+                params_, effs_, effs_next_, statics_regions_, aux_ = vop
+            else:
+                params_, effs_, effs_next_, statics_regions_ = vop
             mass_g = greg[:, 3]  # (NB^3, r2, RCOLS)
             act_g = mass_g > EPS
             inv_m = 1.0 / jnp.maximum(mass_g, EPS)
@@ -560,11 +564,49 @@ def make_substep(cfg: SimCfg, psum_axis=None):
                     vo = sdf_ops.static_collide(
                         vo, sdf_r, normal_r, params_.statics_friction[si]
                     )
-            if agent is not None and agent.collide_type in ("grid", "both"):
+            if (agent is not None
+                    and agent.collide_type in ("grid", "both")
+                    and aux_ is not None):
+                # precomputed-aux path: only the velocity blend runs
+                # inside the (differentiated) grid op
+                shp = vo.shape
+                vf = vo.reshape(3, -1)
+                for i, ecfg in enumerate(agent.effectors):
+                    if aux_[i] is None:
+                        continue
+                    act_a, infl_a, nrm_a, cv_a = aux_[i]
+                    v_new = sdf_ops.dynamic_collide_blend(
+                        ecfg.collider.friction, act_a, infl_a, nrm_a,
+                        cv_a, vf,
+                    )
+                    if agent.collide_y_gate is not None:
+                        gate = cpos.reshape(3, -1)[1] > agent.collide_y_gate
+                        vf = jnp.stack([
+                            jnp.where(gate, v_new[d], vf[d])
+                            for d in range(3)
+                        ])
+                    else:
+                        vf = v_new
+                vo = vf.reshape(shp)
+            elif agent is not None and agent.collide_type in ("grid", "both"):
+                effs_c, effs_nc = effs_, effs_next_
+                if _os.environ.get("FL_COLLIDE_GRID_SG") == "1":
+                    # Formulation decomposition (pouring dossier,
+                    # RESULTS r5): the grid-site collide ADJOINT
+                    # w.r.t. effector pose faults the TPU worker in
+                    # every exact reformulation tried (split phase,
+                    # host inverse, sticky, remat, matrix form), while
+                    # the velocity path (same structure as
+                    # static_collide's adjoint) is fine everywhere.
+                    # Detach the pose inputs HERE ONLY: forward physics
+                    # exact, d/d mat_v kept, pose cotangents still flow
+                    # through the particle-site collide ('both' mode).
+                    effs_c = jax.lax.stop_gradient(effs_)
+                    effs_nc = jax.lax.stop_gradient(effs_next_)
                 shp = vo.shape
                 vo = _agent_collide(
                     cfg, params_, cpos.reshape(3, -1), vo.reshape(3, -1),
-                    effs_, effs_next_,
+                    effs_c, effs_nc,
                 ).reshape(shp)
             if agent is not None and _os.environ.get("FL_COLLIDE_DUMMY") == "1":
                 # Diagnostic (pouring-fault dossier, RESULTS r5): an
@@ -623,6 +665,32 @@ def make_substep(cfg: SimCfg, psum_axis=None):
         new_C = jnp.zeros_like(C)
         if use_regions:
             vop = (params, effs, effs_next, statics_regions)
+            if (agent is not None
+                    and agent.collide_type in ("grid", "both")
+                    and _os.environ.get("FL_COLLIDE_GRID_PRECOMP") == "1"):
+                # Precompute the pose-dependent collide auxiliaries
+                # OUTSIDE the grid phase (RESULTS r5 pouring dossier:
+                # any trilerp/where collide machinery inside the
+                # recomputed gridop backward kernel-faults the worker;
+                # the blend alone is safe).  stop_gradient: pose
+                # cotangents via the grid site are dropped — they still
+                # flow through the particle-site collide in 'both'
+                # mode (documented deviation; forward physics exact).
+                cpf = _region_cell_pos().reshape(3, -1)
+                aux = []
+                for i, ecfg in enumerate(agent.effectors):
+                    if ecfg.collider is None or not ecfg.collider.has_dynamics:
+                        aux.append(None)
+                        continue
+                    aux.append(jax.lax.stop_gradient(
+                        sdf_ops.dynamic_collide_aux(
+                            params.colliders[i], ecfg.collider.friction,
+                            ecfg.collider.softness, cpf,
+                            effs[i].pos, effs[i].quat,
+                            effs_next[i].pos, effs_next[i].quat, cfg.dt,
+                        )
+                    ))
+                vop = vop + (tuple(aux),)
             if _GRIDPHASE == "merged":
                 from fluidlab_tpu.ops.regions_pallas import make_grid_phase
 

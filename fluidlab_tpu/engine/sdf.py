@@ -170,6 +170,70 @@ def dynamic_collide(
     )
 
 
+def dynamic_collide_aux(
+    collider: ColliderParams,
+    friction: float,
+    softness: float,
+    pos_world,  # (3, M)
+    eff_pos,
+    eff_quat,
+    eff_pos_next,
+    eff_quat_next,
+    dt: float,
+):
+    """Pose-dependent auxiliaries of dynamic_collide (matrix form):
+    (active, influence, normal, collider_v).  No mat_v dependence —
+    everything here is a function of effector poses and the (usually
+    constant) query positions.  Split out so the grid-site collide can
+    precompute these OUTSIDE the differentiated grid phase (RESULTS r5
+    pouring dossier: the trilerp/where machinery inside the recomputed
+    gridop backward faults the TPU worker even with stop_gradient'd
+    poses; hoisting it leaves only dynamic_collide_blend in the
+    backward program)."""
+    R0inv = quat_ops.quat_rot_matrix(quat_ops.inv_quat(eff_quat))
+    R1 = quat_ops.quat_rot_matrix(eff_quat_next)
+    pos_mesh = R0inv @ (pos_world - eff_pos[:, None])
+    pos_vox = _world_to_voxels(pos_mesh, collider.T_mesh_to_voxels)
+
+    signed_dist = sdf_trilerp_soa(collider.sdf, pos_vox, outside_value=1.0)
+    influence = jnp.minimum(jnp.exp(-signed_dist * softness), 1.0)
+    active = (signed_dist <= 0.0) | ((softness > 0.0) & (influence > 0.1))
+
+    pos_world_new = R1 @ pos_mesh + eff_pos_next[:, None]
+    collider_v = (pos_world_new - pos_world) / dt
+
+    if friction > 10.0:
+        normal = jnp.zeros_like(collider_v)
+    else:
+        g_vox = sdf_trilerp_soa(collider.grad, pos_vox, outside_value=0.0)
+        if (os.environ.get("FL_COLLIDE_INV") == "host"
+                and collider.R_vox_to_mesh is not None):
+            Rvm = collider.R_vox_to_mesh
+        else:
+            Rvm = jnp.linalg.inv(collider.T_mesh_to_voxels[:3, :3])
+        R0 = quat_ops.quat_rot_matrix(eff_quat)
+        g_world = (R0 @ Rvm) @ g_vox
+        norm = jnp.sqrt(sum(g_world[i] ** 2 for i in range(3)) + EPS)
+        normal = g_world / norm
+    return active, influence, normal, collider_v
+
+
+def dynamic_collide_blend(friction, active, influence, normal,
+                          collider_v, mat_v):
+    """Velocity-blend stage of dynamic_collide given precomputed
+    auxiliaries — the ONLY part that depends on mat_v.  Same math as
+    the corresponding tail of _dynamic_collide_impl."""
+    if friction > 10.0:
+        v_new = collider_v
+    else:
+        rel_v = mat_v - collider_v
+        rel_t = _friction_project_soa(rel_v, normal, friction)
+        v_new = collider_v + rel_t * influence + rel_v * (1.0 - influence)
+    return jnp.stack([
+        jnp.where(active, v_new[i], mat_v[i]) for i in range(3)
+    ])
+
+
 def _dynamic_collide_matrix(
     collider: ColliderParams,
     friction: float,

@@ -89,6 +89,23 @@ GATES = {
     #                 the restructuring candidate FIX (exact semantics).
     "both_matrix": dict(collide_type="both", collector=True, grad=True,
                         env={"FL_COLLIDE_IMPL": "matrix"}),
+    #   both_gridsg   formulation decomposition: grid-site collide with
+    #                 stop_gradient on the POSE inputs only — forward
+    #                 exact, velocity adjoint kept (static_collide-like,
+    #                 known-good), pose grads flow via the particle
+    #                 site.  The VERDICT-sanctioned "collide gate
+    #                 decomposition" candidate.
+    "both_gridsg": dict(collide_type="both", collector=True, grad=True,
+                        env={"FL_COLLIDE_GRID_SG": "1"}),
+    #   both_precomp  pose-dependent collide auxiliaries precomputed
+    #                 OUTSIDE the grid phase (stop_gradient), gridop
+    #                 keeps only the velocity blend — removes ALL
+    #                 trilerp/where collide machinery from the backward
+    #                 program.  Forward exact; grid-site pose grads
+    #                 dropped (flow via particle site), mat_v grads
+    #                 kept.
+    "both_precomp": dict(collide_type="both", collector=True, grad=True,
+                         env={"FL_COLLIDE_GRID_PRECOMP": "1"}),
 }
 spec = GATES[GATE]
 for _k, _v in spec.get("env", {}).items():
