@@ -36,6 +36,19 @@ from fluidlab_tpu.optimizer.solver import Solver
 from _task_spec import ChainCourseLogger, make_spec_cls, resolve_task
 
 NAME = os.environ.get("FL_TASK", "pouring")
+
+# FL_TASK_COLLIDE overrides the agent's collide_type before env build
+# (r5: the grid-site collide adjoint kernel-faults the TPU worker —
+# 13-gate dossier in RESULTS.md; 'particle' is the hardware-validated
+# formulation: same collision constraint enforced at the particle site
+# each substep, reference AgentRigid's standard mode).
+if os.environ.get("FL_TASK_COLLIDE"):
+    from fluidlab_tpu.engine import sim as _sim_mod
+
+    for _at, _d in _sim_mod._AGENT_TYPE_DEFAULTS.items():
+        if _d.get("collide_type") in ("grid", "both"):
+            _d["collide_type"] = os.environ["FL_TASK_COLLIDE"]
+
 cfg, env_id, base_cls = resolve_task(NAME)
 
 STATE = os.environ.get("FL_CHAIN_STATE", f"/tmp/{NAME}_chain_state.pkl")
