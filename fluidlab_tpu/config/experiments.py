@@ -71,7 +71,7 @@ EXPERIMENTS = {
                 v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
                 p=((0.5, 0.73, 0.5), (0.5, 0.73, 0.5)),
             ),
-            optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=2e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "pouring": dict(
@@ -79,21 +79,22 @@ EXPERIMENTS = {
         SOLVER=dict(
             n_iters=500,
             init_range=dict(
-                v=((0.0,) * 6, (0.0,) * 6),
+                v=((0.0, 0.0, 0.0, 0.0, 0.0, 0.00115),
+                   (0.0, 0.0, 0.0, 0.0, 0.0, 0.00115)),
                 p=((0.6, 0.7, 0.5, 0.0, 0.0, 0.0), (0.6, 0.7, 0.5, 0.0, 0.0, 0.0)),
             ),
-            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "gathering_easy": dict(
         EXP=dict(seed=0, env_name="GatheringEasy-v0"),
         SOLVER=dict(
-            n_iters=1000,
+            n_iters=500,
             init_range=dict(
                 v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
-                p=((0.73, 0.4, 0.5), (0.73, 0.4, 0.5)),
+                p=((0.55, 0.45, 0.5), (0.55, 0.45, 0.5)),
             ),
-            optim=dict(type="Adam", lr=5e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "gatheringO": dict(
@@ -102,31 +103,31 @@ EXPERIMENTS = {
             n_iters=1000,
             init_range=dict(
                 v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
-                p=((0.5, 0.4, 0.2), (0.5, 0.4, 0.2)),
+                p=((0.5, 0.45, 0.25), (0.5, 0.45, 0.25)),
             ),
-            optim=dict(type="Adam", lr=5e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "icecream_dynamic": dict(
         EXP=dict(seed=0, env_name="IceCreamDynamic-v0"),
         SOLVER=dict(
-            n_iters=500,
+            n_iters=5000,
             init_range=dict(
                 v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
                 p=((0.35, 0.3, 0.5), (0.35, 0.3, 0.5)),
             ),
-            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=2e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "icecream_static": dict(
         EXP=dict(seed=0, env_name="IceCreamStatic-v0"),
         SOLVER=dict(
-            n_iters=500,
+            n_iters=1000,
             init_range=dict(
-                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                v=((0.0, 0.0005, 0.0), (0.0, 0.0005, 0.0)),
                 p=((0.62, 0.36, 0.5), (0.62, 0.36, 0.5)),
             ),
-            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=2e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "transporting": dict(
@@ -137,32 +138,31 @@ EXPERIMENTS = {
                 v=((0.0,) * 6, (0.0,) * 6),
                 p=((0.5, 0.2, 0.5, 0.0, 0.0, 0.0), (0.5, 0.2, 0.5, 0.0, 0.0, 0.0)),
             ),
-            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=1e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "mixing": dict(
         EXP=dict(seed=0, env_name="Mixing-v0"),
         SOLVER=dict(
-            n_iters=2000,
+            n_iters=500,
             init_range=dict(
                 v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
                 p=((0.5, 0.73, 0.5), (0.5, 0.73, 0.5)),
             ),
-            optim=dict(type="Adam", lr=3e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=5e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
-    # beyond-reference tasks (registered-but-absent upstream,
-    # reference envs/__init__.py:4-10); init poses match the env
-    # effector start poses (envs/tasks.py ScoopingEnv/StabilizingEnv)
+    # reference exp_scooping.yaml (env class absent upstream; ours is
+    # implemented) — solver values from the yaml
     "scooping": dict(
         EXP=dict(seed=0, env_name="Scooping-v0"),
         SOLVER=dict(
             n_iters=500,
             init_range=dict(
-                v=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
-                p=((0.3, 0.7, 0.5), (0.3, 0.7, 0.5)),
+                v=((0.0035, 0.0, 0.0), (0.0035, 0.0, 0.0)),
+                p=((0.15, 0.65, 0.5), (0.15, 0.65, 0.5)),
             ),
-            optim=dict(type="Adam", lr=1e-3, beta_1=0.9, beta_2=0.99),
+            optim=dict(type="Adam", lr=5e-4, beta_1=0.9, beta_2=0.99),
         ),
     ),
     "stabilizing": dict(
